@@ -1,0 +1,277 @@
+"""IMU preintegration as a jitted scan over gyro/accel samples.
+
+TPU-native replacement for `IMU::Preintegrated`
+(`/root/reference/src/ImuTypes.cc:106-390`, `include/ImuTypes.h:143-251`):
+delta rotation/velocity/position between two frames, the 15x15 covariance of
+the preintegrated state (+6 bias-walk block kept separately, as the reference
+does with ``C.block<6,6>(9,9)``), and the Jacobians of the deltas w.r.t. the
+gyro/accel bias used for first-order bias re-linearization.
+
+Differences from the reference:
+  * The per-sample loop `IntegrateNewMeasurement` (ImuTypes.cc:192-258) becomes
+    one `lax.scan` over a fixed-capacity padded sample buffer (mask selects the
+    valid prefix), so whole-trajectory preintegration batches under vmap.
+  * `Reintegrate` (ImuTypes.cc:276-289) is "run the same scan with a new bias"
+    — a pure function call, no stored measurement mutation.
+  * Midpoint convention matches the reference: each step uses
+    acc = 0.5*(a_i + a_{i+1}) - b_a, gyro = 0.5*(w_i + w_{i+1}) - b_g
+    against the *sample interval* dt (Tracking::PreintegrateIMU builds these
+    midpoint pairs at `src/Tracking.cc:1791-1847`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from orbslam3_tpu.core import lie
+
+GRAVITY = 9.81  # reference GRAVITY_VALUE, ImuTypes.h:43
+GRAVITY_VEC = jnp.asarray([0.0, 0.0, -GRAVITY], dtype=jnp.float32)
+
+
+@struct.dataclass
+class ImuCalib:
+    """Noise model + extrinsics (reference `IMU::Calib`, ImuTypes.h:92-126).
+
+    Continuous-time noise densities are converted by the caller to discrete
+    per-sample sigmas: sigma_d = sigma_c * sqrt(freq) (see reference
+    `Settings::readIMU`, src/Settings.cc noise scaling).
+    """
+
+    Rbc: jax.Array  # body<-camera rotation (3,3)
+    tbc: jax.Array  # body<-camera translation (3,)
+    # continuous-time variances: noise densities squared ([rad/s/sqrt(Hz)]^2,
+    # [m/s^2/sqrt(Hz)]^2) and bias random-walk densities squared.
+    gyro_noise2: jax.Array
+    acc_noise2: jax.Array
+    gyro_walk2: jax.Array
+    acc_walk2: jax.Array
+
+    @staticmethod
+    def create(Tbc=None, noise_gyro=1.7e-4, noise_acc=2.0e-3,
+               walk_gyro=1.9e-5, walk_acc=3.0e-3, freq=200.0):
+        del freq  # discretization happens per-sample with the actual dt
+        Rbc = jnp.eye(3, dtype=jnp.float32) if Tbc is None else jnp.asarray(Tbc[:3, :3], jnp.float32)
+        tbc = jnp.zeros(3, jnp.float32) if Tbc is None else jnp.asarray(Tbc[:3, 3], jnp.float32)
+        return ImuCalib(
+            Rbc=Rbc,
+            tbc=tbc,
+            gyro_noise2=jnp.asarray(noise_gyro ** 2, jnp.float32),
+            acc_noise2=jnp.asarray(noise_acc ** 2, jnp.float32),
+            gyro_walk2=jnp.asarray(walk_gyro ** 2, jnp.float32),
+            acc_walk2=jnp.asarray(walk_acc ** 2, jnp.float32),
+        )
+
+
+class Preintegrated(NamedTuple):
+    """Preintegrated deltas between two frames (reference `Preintegrated`)."""
+
+    dT: jax.Array  # total time (scalar)
+    dR: jax.Array  # (3,3) delta rotation
+    dV: jax.Array  # (3,)  delta velocity
+    dP: jax.Array  # (3,)  delta position
+    # 9x9 covariance of (phi, v, p) preintegration noise (reference keeps a
+    # 15x15 C whose lower 6x6 is the bias random walk; we store both blocks).
+    cov: jax.Array  # (9,9)
+    cov_walk: jax.Array  # (6,6) bias random-walk covariance over the interval
+    # bias Jacobians (reference JRg, JVg, JVa, JPg, JPa)
+    JRg: jax.Array  # (3,3) d(dR)/d(bg)
+    JVg: jax.Array
+    JVa: jax.Array
+    JPg: jax.Array
+    JPa: jax.Array
+    bias: jax.Array  # (6,) linearization bias (bg, ba)
+
+
+def identity_preintegrated(dtype=jnp.float32) -> Preintegrated:
+    eye = jnp.eye(3, dtype=dtype)
+    z3 = jnp.zeros(3, dtype=dtype)
+    z33 = jnp.zeros((3, 3), dtype=dtype)
+    return Preintegrated(
+        dT=jnp.zeros((), dtype),
+        dR=eye, dV=z3, dP=z3,
+        cov=jnp.zeros((9, 9), dtype),
+        cov_walk=jnp.zeros((6, 6), dtype),
+        JRg=z33, JVg=z33, JVa=z33, JPg=z33, JPa=z33,
+        bias=jnp.zeros(6, dtype),
+    )
+
+
+def preintegrate(
+    acc: jax.Array,  # (N,3) accel samples (midpoint-averaged by caller or raw)
+    gyro: jax.Array,  # (N,3)
+    dt: jax.Array,  # (N,) per-sample interval; dt<=0 marks padding
+    bias: jax.Array,  # (6,) = (bg, ba) linearization point
+    calib: ImuCalib,
+) -> Preintegrated:
+    """Scan-integrate an IMU window into a `Preintegrated` state.
+
+    State propagation (matches ImuTypes.cc:192-258):
+      dP += dV*dt + 0.5*dR*(a-ba)*dt^2
+      dV += dR*(a-ba)*dt
+      dR  = dR * Exp((w-bg)*dt)
+    Covariance via the linearized transition A/B matrices (Forster RSS'15,
+    same discretization as the reference's A,B blocks).
+    """
+    dtype = acc.dtype
+    bg, ba = bias[:3], bias[3:]
+    nga = jnp.diag(jnp.stack([calib.gyro_noise2] * 3 + [calib.acc_noise2] * 3)).astype(dtype)
+
+    def step(carry, inp):
+        dR, dV, dP, cov, JRg, JVg, JVa, JPg, JPa, dT = carry
+        a_i, w_i, dt_i = inp
+        valid = dt_i > 0
+        dt_i = jnp.where(valid, dt_i, 0.0)
+        a = a_i - ba
+        w = w_i - bg
+        dt2 = dt_i * dt_i
+
+        a_hat = lie.hat(a)
+        # position/velocity update with the *old* dR
+        dP_new = dP + dV * dt_i + 0.5 * dt2 * (dR @ a)
+        dV_new = dV + dt_i * (dR @ a)
+
+        # bias Jacobians with the old dR (order matters; ImuTypes.cc:219-224)
+        JPa_new = JPa + JVa * dt_i - 0.5 * dt2 * dR
+        JPg_new = JPg + JVg * dt_i - 0.5 * dt2 * (dR @ a_hat @ JRg)
+        JVa_new = JVa - dt_i * dR
+        JVg_new = JVg - dt_i * (dR @ a_hat @ JRg)
+
+        # rotation update
+        phi = w * dt_i
+        dRi = lie.so3_exp(phi)
+        Jr = lie.so3_right_jacobian(phi)
+        dR_new = dR @ dRi
+
+        # covariance propagation: x = (phi, v, p)
+        # A = [[dRi^T, 0, 0], [-dR a^ dt, I, 0], [-0.5 dR a^ dt2, I dt, I]]
+        # B = [[Jr dt, 0], [0, dR dt], [0, 0.5 dR dt2]]
+        I3 = jnp.eye(3, dtype=dtype)
+        Z3 = jnp.zeros((3, 3), dtype=dtype)
+        A = jnp.block([
+            [dRi.T, Z3, Z3],
+            [-dt_i * (dR @ a_hat), I3, Z3],
+            [-0.5 * dt2 * (dR @ a_hat), dt_i * I3, I3],
+        ])
+        B = jnp.block([
+            [dt_i * Jr, Z3],
+            [Z3, dt_i * dR],
+            [Z3, 0.5 * dt2 * dR],
+        ])
+        cov_new = A @ cov @ A.T + B @ (nga / jnp.maximum(dt_i, 1e-9)) @ B.T
+        # NOTE: reference uses discrete per-sample sigmas directly:
+        # C = A C A^T + B Nga B^T with Nga built from sigma^2*freq; since our
+        # nga already folds the sample frequency (sigma_d^2 = sigma_c^2*freq),
+        # the B-term must scale with dt: Nga_discrete = nga * dt / dt_nom.
+        # We use the standard continuous-time discretization: B (nga/dt) B^T,
+        # where B carries dt factors — equivalent to Forster's formulation.
+
+        JRg_new = dRi.T @ JRg - dt_i * Jr
+
+        out = (
+            jnp.where(valid, dR_new, dR),
+            jnp.where(valid, dV_new, dV),
+            jnp.where(valid, dP_new, dP),
+            jnp.where(valid, cov_new, cov),
+            jnp.where(valid, JRg_new, JRg),
+            jnp.where(valid, JVg_new, JVg),
+            jnp.where(valid, JVa_new, JVa),
+            jnp.where(valid, JPg_new, JPg),
+            jnp.where(valid, JPa_new, JPa),
+            dT + dt_i,
+        )
+        return out, None
+
+    init = (
+        jnp.eye(3, dtype=dtype), jnp.zeros(3, dtype), jnp.zeros(3, dtype),
+        jnp.zeros((9, 9), dtype),
+        jnp.zeros((3, 3), dtype), jnp.zeros((3, 3), dtype), jnp.zeros((3, 3), dtype),
+        jnp.zeros((3, 3), dtype), jnp.zeros((3, 3), dtype),
+        jnp.zeros((), dtype),
+    )
+    (dR, dV, dP, cov, JRg, JVg, JVa, JPg, JPa, dT), _ = jax.lax.scan(
+        step, init, (acc, gyro, dt)
+    )
+    walk = jnp.diag(
+        jnp.stack([calib.gyro_walk2] * 3 + [calib.acc_walk2] * 3)
+    ).astype(dtype) * dT
+    return Preintegrated(
+        dT=dT, dR=lie.so3_normalize(dR), dV=dV, dP=dP,
+        cov=cov, cov_walk=walk,
+        JRg=JRg, JVg=JVg, JVa=JVa, JPg=JPg, JPa=JPa, bias=bias,
+    )
+
+
+# -- bias-corrected getters (reference GetDeltaRotation/Velocity/Position,
+#    ImuTypes.cc:307-334) ------------------------------------------------------
+
+
+def delta_rotation(pre: Preintegrated, bias: jax.Array) -> jax.Array:
+    dbg = bias[:3] - pre.bias[:3]
+    return pre.dR @ lie.so3_exp(pre.JRg @ dbg)
+
+
+def delta_velocity(pre: Preintegrated, bias: jax.Array) -> jax.Array:
+    dbg, dba = bias[:3] - pre.bias[:3], bias[3:] - pre.bias[3:]
+    return pre.dV + pre.JVg @ dbg + pre.JVa @ dba
+
+
+def delta_position(pre: Preintegrated, bias: jax.Array) -> jax.Array:
+    dbg, dba = bias[:3] - pre.bias[:3], bias[3:] - pre.bias[3:]
+    return pre.dP + pre.JPg @ dbg + pre.JPa @ dba
+
+
+def merge(prev: Preintegrated, nxt: Preintegrated) -> Preintegrated:
+    """Concatenate two consecutive preintegrated windows.
+
+    Reference `MergePrevious` (ImuTypes.cc:262-274) re-integrates the union of
+    samples; with pure functions we instead compose the deltas directly (exact
+    for matching linearization biases):
+      dR = dR1 dR2; dV = dV1 + dR1 dV2; dP = dP1 + dV1*dT2 + dR1 dP2.
+    """
+    dR = prev.dR @ nxt.dR
+    dV = prev.dV + prev.dR @ nxt.dV
+    dP = prev.dP + prev.dV * nxt.dT + prev.dR @ nxt.dP
+    # covariance: transport next cov through prev frame; first-order compose
+    I3 = jnp.eye(3, dtype=prev.dR.dtype)
+    Z3 = jnp.zeros((3, 3), dtype=prev.dR.dtype)
+    # state transition of prev deltas through the second window
+    A = jnp.block([
+        [nxt.dR.T, Z3, Z3],
+        [-prev.dR @ lie.hat(nxt.dV), I3, Z3],
+        [-prev.dR @ lie.hat(nxt.dP), nxt.dT * I3, I3],
+    ])
+    G = jax.scipy.linalg.block_diag(prev.dR, prev.dR, prev.dR)
+    cov = A @ prev.cov @ A.T + G @ nxt.cov @ G.T
+    # bias jacobians compose to first order
+    JRg = nxt.dR.T @ prev.JRg + nxt.JRg
+    JVg = prev.JVg + prev.dR @ nxt.JVg - prev.dR @ lie.hat(nxt.dV) @ prev.JRg
+    JVa = prev.JVa + prev.dR @ nxt.JVa
+    JPg = prev.JPg + nxt.dT * prev.JVg + prev.dR @ nxt.JPg - prev.dR @ lie.hat(nxt.dP) @ prev.JRg
+    JPa = prev.JPa + nxt.dT * prev.JVa + prev.dR @ nxt.JPa
+    return Preintegrated(
+        dT=prev.dT + nxt.dT, dR=dR, dV=dV, dP=dP,
+        cov=cov, cov_walk=prev.cov_walk + nxt.cov_walk,
+        JRg=JRg, JVg=JVg, JVa=JVa, JPg=JPg, JPa=JPa, bias=prev.bias,
+    )
+
+
+def predict_state(
+    Rwb: jax.Array, twb: jax.Array, vw: jax.Array,
+    pre: Preintegrated, bias: jax.Array,
+):
+    """IMU state prediction (reference `Tracking::PredictStateIMU`,
+    src/Tracking.cc:1863-1911):
+      R2 = R1 * dR(b); v2 = v1 + g dT + R1 dV(b);
+      p2 = p1 + v1 dT + 0.5 g dT^2 + R1 dP(b).
+    """
+    g = GRAVITY_VEC.astype(Rwb.dtype)
+    dT = pre.dT
+    R2 = Rwb @ delta_rotation(pre, bias)
+    v2 = vw + g * dT + Rwb @ delta_velocity(pre, bias)
+    p2 = twb + vw * dT + 0.5 * g * dT * dT + Rwb @ delta_position(pre, bias)
+    return R2, p2, v2
