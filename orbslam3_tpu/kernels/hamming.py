@@ -1,0 +1,108 @@
+"""Hamming-distance kernels for 256-bit ORB descriptors.
+
+TPU-native replacement for `ORBmatcher::DescriptorDistance` and the
+candidate-loop matchers built on it (`/root/reference/src/ORBmatcher.cc`,
+`DescriptorDistance` uses the classic popcount bit-hack; every Search* walks
+candidate lists pixel-by-pixel on the CPU).
+
+Re-design rationale: on TPU the all-pairs distance matrix IS the cheap path.
+With descriptors as +/-1 planes (bf16), XOR-popcount becomes a matmul on the
+MXU:  dot(a, b) = 256 - 2*hamming  =>  hamming = (256 - dot)/2.
+A 2000x2000x256 distance matrix is ~2 GFLOP-equivalent — microseconds on MXU —
+so matching policies (windowing, ratio tests, rotation histograms) are applied
+as masks over the full matrix instead of per-candidate control flow.
+
+Two implementations:
+  * `distance_matrix` — bf16 plane matmul (the fast path; exact, because
+    +/-1 products are integers well inside bf16 range and accumulation is
+    f32).
+  * `distance_matrix_popcount` — uint32 XOR + population_count (reference
+    implementation for tests; also the better choice for tiny candidate sets
+    on the VPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+N_BITS = 256
+TH_LOW = 50    # reference ORBmatcher.h:83
+TH_HIGH = 100  # reference ORBmatcher.h:84
+
+
+def distance_matrix(planes_a: jax.Array, planes_b: jax.Array) -> jax.Array:
+    """(N,256)+/-1 x (M,256)+/-1 -> (N,M) int32 Hamming distances via MXU."""
+    dot = jax.lax.dot_general(
+        planes_a.astype(jnp.bfloat16),
+        planes_b.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return ((N_BITS - dot) * 0.5).astype(jnp.int32)
+
+
+def distance_matrix_popcount(packed_a: jax.Array, packed_b: jax.Array) -> jax.Array:
+    """(N,8) uint32 x (M,8) uint32 -> (N,M) int32 via XOR + popcount.
+
+    Word-at-a-time to bound the intermediate to one (N,M) buffer.
+    """
+    n, m = packed_a.shape[0], packed_b.shape[0]
+    out = jnp.zeros((n, m), jnp.int32)
+    for w in range(8):
+        x = packed_a[:, w][:, None] ^ packed_b[:, w][None, :]
+        out = out + jax.lax.population_count(x).astype(jnp.int32)
+    return out
+
+
+def distance_vector(packed_a: jax.Array, packed_b: jax.Array) -> jax.Array:
+    """Rowwise distance between aligned descriptor arrays (N,8)x(N,8)->(N,)."""
+    x = packed_a ^ packed_b
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=())
+def match_ratio(
+    dist: jax.Array,  # (N, M) distances (may contain +inf-like big values)
+    max_dist: int = TH_LOW,
+    ratio: float = 0.9,
+):
+    """Best-match with Lowe ratio test over a (masked) distance matrix.
+
+    Returns (idx, best_dist, ok): for each row, the best column, its distance,
+    and whether it passes threshold + ratio (reference `mfNNratio` logic in
+    e.g. SearchByBoW / SearchForInitialization).
+    """
+    neg = -dist.astype(jnp.float32)
+    top2, idx2 = jax.lax.top_k(neg, 2)
+    best = -top2[:, 0]
+    second = -top2[:, 1]
+    idx = idx2[:, 0]
+    ok = (best <= max_dist) & (best < ratio * second)
+    return idx, best.astype(jnp.int32), ok
+
+
+def mutual_filter(idx_ab: jax.Array, ok_ab: jax.Array, idx_ba: jax.Array) -> jax.Array:
+    """Cross-check: keep a->b matches whose b->a best maps back to a."""
+    n = idx_ab.shape[0]
+    back = idx_ba[idx_ab]
+    return ok_ab & (back == jnp.arange(n))
+
+
+def rotation_consistency(
+    angles_a: jax.Array, angles_b: jax.Array, idx: jax.Array, ok: jax.Array,
+    n_bins: int = 30, keep_bins: int = 3,
+):
+    """Keep matches whose angle difference falls in the top-`keep_bins`
+    histogram bins (reference ORBmatcher rotation histogram, HISTO_LENGTH=30,
+    ComputeThreeMaxima).
+    """
+    d = angles_a - angles_b[idx]
+    d = jnp.mod(d, 2 * jnp.pi)
+    bins = jnp.floor(d / (2 * jnp.pi) * n_bins).astype(jnp.int32) % n_bins
+    counts = jnp.zeros(n_bins, jnp.int32).at[bins].add(ok.astype(jnp.int32))
+    _, top = jax.lax.top_k(counts, keep_bins)
+    in_top = jnp.any(bins[:, None] == top[None, :], axis=-1)
+    return ok & in_top

@@ -1,0 +1,87 @@
+"""Pose-only optimization: fixed-iteration robust Gauss-Newton on SE(3).
+
+TPU-native replacement for `Optimizer::PoseOptimization`
+(`/root/reference/src/Optimizer.cc:814-1114`): the reference runs 4 rounds of
+10 LM iterations on g2o, re-classifying outliers by chi2 (5.991 mono) between
+rounds. Here each round is a fixed `lax.fori_loop` of damped GN steps; the
+whole 4-round schedule with outlier re-classification compiles to one XLA
+program; residuals/Jacobians for all observations are evaluated as one batch.
+
+Perturbation convention: left-multiplicative, T <- exp(xi) * T with
+xi = (rho, phi), so dXc/dxi = [I | -hat(Xc)].
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.core import lie, robust
+
+CHI2_MONO = robust.CHI2_MONO
+HUBER_MONO = CHI2_MONO ** 0.5
+
+
+def reprojection_residuals(R, t, points, uv, camera):
+    """Residuals (N,2) and Jacobians (N,2,6) wrt left-perturbation of (R,t)."""
+    xc = lie.se3_apply(R, t, points)
+    pred = camera.project(xc)
+    res = pred - uv
+    Jproj = camera.project_jac(xc)  # (N,2,3)
+    # dXc/dxi = [I | -hat(Xc)]
+    Jpose = jnp.concatenate([Jproj, -Jproj @ lie.hat(xc)], axis=-1)  # (N,2,6)
+    return res, Jpose, xc
+
+
+@partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
+def optimize_pose(
+    R0: jax.Array,  # (3,3) initial Tcw rotation
+    t0: jax.Array,  # (3,)
+    points: jax.Array,  # (N,3) world points
+    uv: jax.Array,  # (N,2) observations
+    info: jax.Array,  # (N,) information weight (1/sigma^2 per octave)
+    valid: jax.Array,  # (N,) bool
+    camera,
+    n_rounds: int = 4,
+    n_iters: int = 10,
+    damping: float = 1e-3,
+):
+    """Returns (R, t, inliers, n_inliers). Matches the reference's
+    round structure: after each round, obs with chi2 > 5.991 are excluded
+    (and can re-enter if they fall back under threshold, like g2o level-0/1
+    edge re-activation at Optimizer.cc:1049-1070)."""
+
+    def gn_round(carry, _):
+        R, t, inlier = carry
+
+        def gn_step(_, Rt):
+            R, t = Rt
+            res, J, _ = reprojection_residuals(R, t, points, uv, camera)
+            chi2 = jnp.sum(res * res, axis=-1) * info
+            w = robust.huber_weight(chi2, HUBER_MONO) * info * inlier
+            JW = J * w[:, None, None]
+            H = jnp.einsum("nia,nib->ab", JW, J)
+            b = jnp.einsum("nia,ni->a", JW, res)
+            H = H + damping * jnp.eye(6, dtype=H.dtype) * (1.0 + jnp.trace(H) / 6.0)
+            dx = -jnp.linalg.solve(H, b)
+            dR, dt = lie.se3_exp(dx)
+            return (dR @ R, dR @ t + dt)
+
+        R, t = jax.lax.fori_loop(0, n_iters, gn_step, (R, t))
+        # re-classify
+        res, _, xc = reprojection_residuals(R, t, points, uv, camera)
+        chi2 = jnp.sum(res * res, axis=-1) * info
+        inlier_new = (
+            valid.astype(R.dtype)
+            * (chi2 < CHI2_MONO).astype(R.dtype)
+            * (xc[:, 2] > 0).astype(R.dtype)
+        )
+        return (R, t, inlier_new), None
+
+    inlier0 = valid.astype(R0.dtype)
+    (R, t, inlier), _ = jax.lax.scan(
+        gn_round, (R0, t0, inlier0), None, length=n_rounds
+    )
+    return R, t, inlier > 0, jnp.sum(inlier).astype(jnp.int32)

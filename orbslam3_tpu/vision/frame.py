@@ -1,0 +1,124 @@
+"""Frame feature-extraction pipeline: image -> fixed-capacity ORB features.
+
+TPU-native equivalent of the reference's `Frame` construction with
+`ORBextractor::operator()` (`/root/reference/src/Frame.cc:200-392`,
+`src/ORBextractor.cc:57-89`): 8-level pyramid, per-level FAST with uniform
+spatial distribution, intensity-centroid orientation, steered BRIEF, keypoint
+undistortion — all as one jitted device program per static image shape.
+
+The result is a `FrameFeatures` pytree of *fixed-capacity padded tensors*
+(the framework's Frame data model, replacing the reference's
+std::vector<cv::KeyPoint> + cv::Mat descriptors): every downstream consumer
+(matcher, tracker, BA) masks with `valid`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from orbslam3_tpu.kernels import fast as fast_k
+from orbslam3_tpu.kernels import image as image_k
+from orbslam3_tpu.kernels import orb_descriptor as desc_k
+
+
+@struct.dataclass
+class FrameFeatures:
+    """Padded per-frame feature set (capacity N = requested nfeatures)."""
+
+    uv: jax.Array        # (N, 2) float32 level-0 pixel coords (undistorted if cam given)
+    uv_raw: jax.Array    # (N, 2) float32 raw (distorted) coords
+    response: jax.Array  # (N,) float32
+    angle: jax.Array     # (N,) float32 radians
+    octave: jax.Array    # (N,) int32 pyramid level
+    desc: jax.Array      # (N, 8) uint32 packed 256-bit descriptors
+    valid: jax.Array     # (N,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.uv.shape[0]
+
+
+def level_quotas(n_features: int, n_levels: int, scale: float) -> Sequence[int]:
+    """Per-level feature budget, matching the reference's geometric split
+    (`ORBextractor.cc` ctor: nfeatures*(1-f)/(1-f^L) * f^l with f=1/scale)."""
+    f = 1.0 / scale
+    total = (1.0 - f ** n_levels) / (1.0 - f)
+    quotas = [int(round(n_features * (f ** l) / total)) for l in range(n_levels)]
+    quotas[-1] += n_features - sum(quotas)
+    return quotas
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_features", "n_levels", "scale", "cell", "ini_th", "min_th"),
+)
+def extract_features(
+    img: jax.Array,  # (H, W) float32 grayscale in [0, 255]
+    n_features: int = 1000,
+    n_levels: int = image_k.DEFAULT_LEVELS,
+    scale: float = image_k.DEFAULT_SCALE,
+    cell: int = 32,
+    ini_th: float = fast_k.INI_TH,
+    min_th: float = fast_k.MIN_TH,
+) -> FrameFeatures:
+    """Full ORB extraction. One compiled program per image shape."""
+    quotas = level_quotas(n_features, n_levels, scale)
+    pyr = image_k.build_pyramid(img, n_levels, scale)
+
+    uvs, uvs_raw, resps, angs, octs, descs, valids = [], [], [], [], [], [], []
+    for lvl, (lvl_img, quota) in enumerate(zip(pyr, quotas)):
+        if quota <= 0:
+            continue
+        score = fast_k.detect(lvl_img, ini_th, min_th)
+        ys, xs, resp, valid = fast_k.select_uniform(score, quota, cell=cell)
+        ang = desc_k.keypoint_angles(lvl_img, ys, xs)
+        blurred = image_k.gaussian_blur(lvl_img)
+        d = desc_k.brief_descriptors(blurred, ys, xs, ang)
+        s = scale ** lvl
+        uv = jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], axis=-1)
+        uvs.append(uv)
+        uvs_raw.append(uv)
+        resps.append(resp)
+        angs.append(ang)
+        octs.append(jnp.full((quota,), lvl, jnp.int32))
+        descs.append(d)
+        valids.append(valid)
+
+    return FrameFeatures(
+        uv=jnp.concatenate(uvs),
+        uv_raw=jnp.concatenate(uvs_raw),
+        response=jnp.concatenate(resps),
+        angle=jnp.concatenate(angs),
+        octave=jnp.concatenate(octs),
+        desc=jnp.concatenate(descs),
+        valid=jnp.concatenate(valids),
+    )
+
+
+def undistort(features: FrameFeatures, camera) -> FrameFeatures:
+    """Undistort keypoint coords (reference `Frame::UndistortKeyPoints`,
+    src/Frame.cc:322). KB8 cameras keep raw coords (distortion stays in the
+    projection model)."""
+    return features.replace(uv=camera.undistort_points(features.uv_raw))
+
+
+def features_from_wire(uv, desc, n_capacity: int):
+    """Build FrameFeatures from edge-client keypoints+descriptors (the fork's
+    Frame-from-wire ctor, `src/Frame.cc:384-392`): pad/clip to capacity."""
+    n = uv.shape[0]
+    m = min(n, n_capacity)
+    uv_p = jnp.zeros((n_capacity, 2), jnp.float32).at[:m].set(uv[:m])
+    d_p = jnp.zeros((n_capacity, 8), jnp.uint32).at[:m].set(desc[:m])
+    valid = (jnp.arange(n_capacity) < m)
+    return FrameFeatures(
+        uv=uv_p, uv_raw=uv_p,
+        response=jnp.zeros(n_capacity, jnp.float32),
+        angle=jnp.zeros(n_capacity, jnp.float32),
+        octave=jnp.zeros(n_capacity, jnp.int32),
+        desc=d_p, valid=valid,
+    )
