@@ -1,0 +1,362 @@
+"""Local mapping back-end: map-point creation, fusion, local BA, culling.
+
+TPU-native replacement for the reference's `LocalMapping` thread
+(`/root/reference/src/LocalMapping.cc:68-286`): `ProcessNewKeyFrame` (302),
+`MapPointCulling` (350), `CreateNewMapPoints` (392, epipolar triangulation
+with covisible neighbors), `SearchInNeighbors` fuse (718), local BA dispatch
+(133-160), `KeyFrameCulling` (906).
+
+Host actor + jitted device stages. In this round it runs synchronously when a
+keyframe is inserted (the reference's queue + dedicated thread is introduced
+with the System facade's async mode).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.core import lie, robust
+from orbslam3_tpu.kernels import orb_descriptor as desc_k
+from orbslam3_tpu.opt.ba import BAProblem, bundle_adjust
+from orbslam3_tpu.slam_map.map_state import MapState
+from orbslam3_tpu.vision import matcher
+from orbslam3_tpu.vision.triangulate import triangulate_points, projection_matrix
+
+
+@dataclasses.dataclass
+class LocalMapperConfig:
+    triangulate_neighbors: int = 5    # reference: 10 (mono) covisible KFs
+    window_kfs: int = 12              # local BA window cap
+    fixed_kfs: int = 8                # fixed-border cap
+    ba_points_cap: int = 4096
+    ba_obs_cap: int = 16384
+    ba_iters: int = 8
+    culling_min_found_ratio: float = 0.25
+    culling_obs_after: int = 3        # KFs after creation before obs test
+    kf_cull_redundancy: float = 0.9   # reference: 90% redundant observations
+
+
+class LocalMapper:
+    def __init__(self, camera, slam_map: MapState,
+                 cfg: LocalMapperConfig = None):
+        self.camera = camera
+        self.map = slam_map
+        self.cfg = cfg or LocalMapperConfig()
+        # recent map points to watch for culling: list of (mp_id, created_kf_count)
+        self._recent_mps: list[tuple[int, int]] = []
+        self._kf_counter = 0
+
+    # ----------------------------------------------------------------- entry
+    def initial_ba(self, k0: int, k1: int, n_iters: int = 20):
+        """Init-map BA (reference GlobalBundleAdjustemnt(20) after mono init)."""
+        self._run_ba(window=[k0, k1], fixed=[k0], n_iters=n_iters)
+
+    def process_keyframe(self, k: int):
+        """Full LocalMapping::Run iteration for one new keyframe."""
+        self._kf_counter += 1
+        self._cull_map_points()
+        self._create_new_map_points(k)
+        self._fuse_neighbors(k)
+        window = [k] + list(self.map.covisibility(k, min_shared=15)[: self.cfg.window_kfs - 1])
+        fixed = self._fixed_border(window)
+        self._run_ba(window, fixed, self.cfg.ba_iters)
+        self._cull_keyframes(k)
+
+    # --------------------------------------------------------------- culling
+    def _cull_map_points(self):
+        """MapPointCulling (LocalMapping.cc:350): drop low found-ratio points
+        and young points that failed to accumulate observations."""
+        m = self.map
+        bad: list[int] = []
+        keep: list[tuple[int, int]] = []
+        counts = m.observation_count()
+        for mp_id, born in self._recent_mps:
+            if not m.mp_valid[mp_id]:
+                continue
+            age = self._kf_counter - born
+            ratio = m.mp_found[mp_id] / max(m.mp_visible[mp_id], 1)
+            if ratio < self.cfg.culling_min_found_ratio:
+                bad.append(mp_id)
+            elif age >= 2 and counts[mp_id] <= 2:
+                bad.append(mp_id)
+            elif age >= self.cfg.culling_obs_after:
+                continue  # graduated
+            else:
+                keep.append((mp_id, born))
+        if bad:
+            m.remove_points(np.asarray(bad))
+        self._recent_mps = keep
+
+    def _cull_keyframes(self, k: int):
+        """KeyFrameCulling (LocalMapping.cc:906): remove covisible KFs whose
+        observations are >=90% redundant — where redundant means >=3 OTHER
+        keyframes observe the point at the same or finer octave (the octave
+        condition is what keeps early/wide-baseline KFs alive; without it,
+        heavily-overlapping views make every new KF "redundant")."""
+        m = self.map
+        if m.n_keyframes < 8:
+            return
+        # newest two keyframes by frame id are protected (their geometry is
+        # still being consolidated)
+        valid_ids = m.keyframe_ids()
+        newest = set(valid_ids[np.argsort(-m.kf_frame_id[valid_ids])[:2]].tolist())
+        for kf in m.covisibility(k, min_shared=15):
+            kf = int(kf)
+            if kf == k or not m.kf_valid[kf] or kf in newest:
+                continue
+            if m.kf_prev[k] == kf or kf == 0:
+                continue  # keep the temporal chain root & origin
+            obs = m.kf_obs_mp[kf]
+            slots = np.nonzero(obs >= 0)[0]
+            if len(slots) < 20:
+                continue
+            n_redundant = 0
+            for s in slots:
+                mp = obs[s]
+                oct_here = m.kf_octave[kf, s]
+                kk, ss = np.nonzero(m.kf_obs_mp == mp)
+                other = (kk != kf) & m.kf_valid[kk]
+                finer = m.kf_octave[kk, ss] <= oct_here + 1
+                if (other & finer).sum() >= 3:
+                    n_redundant += 1
+            if n_redundant / len(slots) > self.cfg.kf_cull_redundancy:
+                nxt = np.nonzero(m.kf_prev == kf)[0]
+                for nk in nxt:
+                    m.kf_prev[nk] = m.kf_prev[kf]
+                m.remove_keyframe(kf)
+
+    # --------------------------------------------------- new point creation
+    def _create_new_map_points(self, k: int):
+        """Epipolar triangulation with covisible neighbors
+        (CreateNewMapPoints, LocalMapping.cc:392-716)."""
+        m = self.map
+        cam = self.camera
+        neighbors = m.covisibility(k, min_shared=10)[: self.cfg.triangulate_neighbors]
+        if len(neighbors) == 0:
+            return
+        Rk, tk = m.kf_R[k], m.kf_t[k]
+        avail_k = m.kf_feat_valid[k] & (m.kf_obs_mp[k] < 0)
+        planes_k = desc_k.descriptor_planes(jnp.asarray(m.kf_desc[k]))
+        uv_k = jnp.asarray(m.kf_uv[k])
+
+        for nb in neighbors:
+            Rn, tn = m.kf_R[nb], m.kf_t[nb]
+            # baseline vs scene-depth gate (LocalMapping.cc:440-466)
+            baseline = np.linalg.norm(-Rn.T @ tn - (-Rk.T @ tk))
+            med_depth = self._median_depth(k)
+            if med_depth > 0 and baseline / med_depth < 0.01:
+                continue
+            avail_n = m.kf_feat_valid[nb] & (m.kf_obs_mp[nb] < 0)
+            planes_n = desc_k.descriptor_planes(jnp.asarray(m.kf_desc[nb]))
+            idx, ok = matcher.search_for_triangulation(
+                uv_k, planes_k, jnp.asarray(avail_k),
+                jnp.asarray(m.kf_uv[nb]), planes_n, jnp.asarray(avail_n),
+                jnp.asarray(Rk), jnp.asarray(tk), jnp.asarray(Rn), jnp.asarray(tn),
+                cam,
+            )
+            ok_np = np.asarray(ok)
+            idx_np = np.asarray(idx)
+            if not ok_np.any():
+                continue
+            # triangulate in normalized coords
+            x1 = np.asarray(cam.unproject(uv_k))[:, :2]
+            x2 = np.asarray(cam.unproject(jnp.asarray(m.kf_uv[nb])))[:, :2]
+            P1 = projection_matrix(jnp.asarray(Rk), jnp.asarray(tk))
+            P2 = projection_matrix(jnp.asarray(Rn), jnp.asarray(tn))
+            X, _ = triangulate_points(P1, P2, jnp.asarray(x1), jnp.asarray(x2[idx_np]))
+            X = np.asarray(X)
+            # acceptance checks (depth, parallax, reprojection)
+            xc1 = X @ Rk.T + tk
+            xc2 = X @ Rn.T + tn
+            z1, z2 = xc1[:, 2], xc2[:, 2]
+            r1 = X - (-Rk.T @ tk)
+            r2 = X - (-Rn.T @ tn)
+            cosp = np.sum(r1 * r2, -1) / np.maximum(
+                np.linalg.norm(r1, axis=-1) * np.linalg.norm(r2, axis=-1), 1e-12
+            )
+            uv1_pred = np.asarray(cam.project(jnp.asarray(xc1)))
+            uv2_pred = np.asarray(cam.project(jnp.asarray(xc2)))
+            e1 = np.sum((uv1_pred - np.asarray(m.kf_uv[k])) ** 2, -1)
+            e2 = np.sum((uv2_pred - np.asarray(m.kf_uv[nb])[idx_np]) ** 2, -1)
+            good = (
+                ok_np & (z1 > 0.05) & (z2 > 0.05) & (cosp < 0.9998)
+                & (e1 < robust.CHI2_MONO) & (e2 < robust.CHI2_MONO)
+                & np.isfinite(X).all(-1)
+            )
+            slots_k = np.nonzero(good)[0]
+            if len(slots_k) == 0:
+                continue
+            ids = m.add_points(
+                pos=X[slots_k].astype(np.float32),
+                desc=m.kf_desc[k][slots_k],
+                first_kf=k,
+            )
+            ok_ids = ids >= 0
+            sk = slots_k[ok_ids]
+            m.kf_obs_mp[k, sk] = ids[ok_ids]
+            m.kf_obs_mp[nb, idx_np[sk]] = ids[ok_ids]
+            for mp_id in ids[ok_ids]:
+                self._recent_mps.append((int(mp_id), self._kf_counter))
+            # mark slots used
+            avail_k = m.kf_feat_valid[k] & (m.kf_obs_mp[k] < 0)
+
+    def _median_depth(self, k: int) -> float:
+        """Scene median depth (KeyFrame::ComputeSceneMedianDepth)."""
+        m = self.map
+        obs = m.kf_obs_mp[k]
+        mps = obs[obs >= 0]
+        if len(mps) == 0:
+            return -1.0
+        xc = m.mp_pos[mps] @ m.kf_R[k].T + m.kf_t[k]
+        return float(np.median(xc[:, 2]))
+
+    # ------------------------------------------------------------------ fuse
+    def _fuse_neighbors(self, k: int):
+        """SearchInNeighbors (LocalMapping.cc:718): project each neighbor's
+        points into KF k (and vice versa) and bind to unassigned features."""
+        m = self.map
+        neighbors = m.covisibility(k, min_shared=10)[: self.cfg.triangulate_neighbors]
+        pairs = [(k, nb) for nb in neighbors] + [(nb, k) for nb in neighbors]
+        for target, source in pairs:
+            obs_s = m.kf_obs_mp[source]
+            mp_ids = obs_s[obs_s >= 0]
+            mp_ids = mp_ids[m.mp_valid[mp_ids]]
+            if len(mp_ids) == 0:
+                continue
+            K = 1024
+            ids_p = np.zeros(K, np.int32)
+            valid_p = np.zeros(K, bool)
+            n = min(len(mp_ids), K)
+            ids_p[:n] = mp_ids[:n]
+            valid_p[:n] = True
+            fidx, matched = matcher.fuse_by_projection(
+                jnp.asarray(m.mp_pos[ids_p]),
+                desc_k.descriptor_planes(jnp.asarray(m.mp_desc[ids_p])),
+                jnp.asarray(valid_p),
+                jnp.asarray(m.kf_R[target]), jnp.asarray(m.kf_t[target]),
+                self.camera,
+                jnp.asarray(m.kf_uv[target]),
+                desc_k.descriptor_planes(jnp.asarray(m.kf_desc[target])),
+                jnp.asarray(m.kf_octave[target]),
+                jnp.asarray(m.kf_feat_valid[target]),
+            )
+            matched_np = np.asarray(matched)
+            fidx_np = np.asarray(fidx)
+            sel = np.nonzero(matched_np)[0]
+            counts = m.observation_count()
+            for i in sel:
+                slot = fidx_np[i]
+                mp = int(ids_p[i])
+                existing = int(m.kf_obs_mp[target, slot])
+                if existing < 0:
+                    if not (m.kf_obs_mp[target] == mp).any():
+                        m.kf_obs_mp[target, slot] = mp
+                elif existing != mp and m.mp_valid[existing]:
+                    # duplicate landmark: merge, keeping the better-observed
+                    # one (reference Fuse -> MapPoint::Replace)
+                    if counts[existing] >= counts[mp]:
+                        m.merge_points(existing, mp)
+                    else:
+                        m.merge_points(mp, existing)
+
+    # -------------------------------------------------------------------- BA
+    def _fixed_border(self, window: list[int]) -> list[int]:
+        """KFs outside the window that observe window points (fixed in BA,
+        like Optimizer::LocalBundleAdjustment's lFixedCameras)."""
+        m = self.map
+        win = set(window)
+        obs = m.kf_obs_mp[list(window)]
+        mp_ids = np.unique(obs[obs >= 0])
+        inc = m.incidence()
+        observers = np.nonzero(inc[:, mp_ids].any(axis=1))[0]
+        fixed = [int(x) for x in observers if int(x) not in win]
+        # order by covisibility weight (most connected first)
+        return fixed[: self.cfg.fixed_kfs]
+
+    def _run_ba(self, window: list[int], fixed: list[int], n_iters: int):
+        m = self.map
+        cam = self.camera
+        all_kfs = list(window) + list(fixed)
+        if len(window) == 0:
+            return
+        if len(fixed) == 0 and len(window) >= 2:
+            fixed = [window[-1]]  # gauge: fix one
+            all_kfs = list(window)
+        M_cap = self.cfg.window_kfs + self.cfg.fixed_kfs
+        P_cap = self.cfg.ba_points_cap
+        O_cap = self.cfg.ba_obs_cap
+
+        kf_rows = np.zeros(M_cap, np.int32)
+        kf_rows[: len(all_kfs)] = all_kfs
+        fixed_mask = np.zeros(M_cap, bool)
+        fixed_mask[len(window): len(all_kfs)] = True
+        fixed_mask[len(all_kfs):] = True
+        for i, kf in enumerate(all_kfs):
+            if kf in fixed:
+                fixed_mask[i] = True
+
+        # landmark set: points observed by window KFs
+        obs_w = m.kf_obs_mp[list(window)]
+        mp_ids = np.unique(obs_w[obs_w >= 0])
+        mp_ids = mp_ids[m.mp_valid[mp_ids]][:P_cap]
+        lm_rows = np.zeros(P_cap, np.int32)
+        lm_rows[: len(mp_ids)] = mp_ids
+        lm_lut = np.full(m.cfg.max_points, -1, np.int32)
+        lm_lut[mp_ids] = np.arange(len(mp_ids))
+        kf_lut = np.full(m.cfg.max_keyframes, -1, np.int32)
+        kf_lut[all_kfs] = np.arange(len(all_kfs))
+
+        kk, slots, mm = m.observations_of(mp_ids)
+        in_prob = (kf_lut[kk] >= 0) & (lm_lut[mm] >= 0)
+        kk, slots, mm = kk[in_prob], slots[in_prob], mm[in_prob]
+        if len(kk) > O_cap:
+            keep = np.random.default_rng(0).permutation(len(kk))[:O_cap]
+            kk, slots, mm = kk[keep], slots[keep], mm[keep]
+        O = len(kk)
+        kf_idx = np.zeros(O_cap, np.int32)
+        lm_idx = np.zeros(O_cap, np.int32)
+        uv = np.zeros((O_cap, 2), np.float32)
+        info = np.zeros(O_cap, np.float32)
+        valid = np.zeros(O_cap, bool)
+        kf_idx[:O] = kf_lut[kk]
+        lm_idx[:O] = lm_lut[mm]
+        uv[:O] = m.kf_uv[kk, slots]
+        info[:O] = 1.0 / (1.2 ** (2 * m.kf_octave[kk, slots]))
+        valid[:O] = True
+
+        prob = BAProblem(
+            R=jnp.asarray(m.kf_R[kf_rows]),
+            t=jnp.asarray(m.kf_t[kf_rows]),
+            points=jnp.asarray(m.mp_pos[lm_rows]),
+            kf_idx=jnp.asarray(kf_idx), lm_idx=jnp.asarray(lm_idx),
+            uv=jnp.asarray(uv), info=jnp.asarray(info),
+            valid=jnp.asarray(valid),
+            fixed_kf=jnp.asarray(fixed_mask),
+            fixed_lm=jnp.asarray(np.arange(P_cap) >= len(mp_ids)),
+        )
+        out, costs = bundle_adjust(prob, cam, n_iters=n_iters)
+
+        # write back
+        R_new = np.asarray(out.R)
+        t_new = np.asarray(out.t)
+        p_new = np.asarray(out.points)
+        for i, kf in enumerate(all_kfs):
+            if not fixed_mask[i]:
+                m.kf_R[kf] = R_new[i]
+                m.kf_t[kf] = t_new[i]
+        m.mp_pos[mp_ids] = p_new[: len(mp_ids)]
+        m.change_index += 1
+
+        # outlier observation pruning (reference erases chi2>5.991 edges
+        # after LBA, Optimizer.cc:1404-1441)
+        Rk = m.kf_R[kk]
+        tk = m.kf_t[kk]
+        xcs = np.einsum("oij,oj->oi", Rk, m.mp_pos[mm]) + tk
+        uv_pred = np.asarray(self.camera.project(jnp.asarray(xcs)))
+        err2 = np.sum((uv_pred - m.kf_uv[kk, slots]) ** 2, -1) * info[:O]
+        outlier = (err2 > robust.CHI2_MONO) | (xcs[:, 2] <= 0)
+        m.kf_obs_mp[kk[outlier], slots[outlier]] = -1

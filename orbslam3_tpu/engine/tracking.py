@@ -1,0 +1,426 @@
+"""Tracking front-end: per-frame state machine driving the jitted pipelines.
+
+TPU-native replacement for the reference's `Tracking` class
+(`/root/reference/src/Tracking.cc`, `Track()` at 1919-2472): the host owns the
+state machine (NOT_INITIALIZED / OK / RECENTLY_LOST / LOST,
+`include/Tracking.h:135-143`), while every numeric stage — feature
+extraction, projection search, pose optimization, two-view init — is a
+fixed-shape jitted device program.
+
+Responsibilities mirrored from the reference:
+  * monocular initialization (`MonocularInitialization` 2590 +
+    `CreateInitialMapMonocular` 2668): wide-window matching, H/F RANSAC,
+    map bootstrap with median-depth normalization, init BA;
+  * motion-model tracking (`TrackWithMotionModel` 2998) with projection
+    search fallback widening;
+  * local-map tracking (`TrackLocalMap` 3093): covisibility-derived local
+    point set, second projection search, pose optimization;
+  * keyframe policy (`NeedNewKeyFrame` 3208 / `CreateNewKeyFrame` 3360);
+  * per-frame relative-pose log for trajectory export (Tracking.cc 2440-2459).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.core import lie
+from orbslam3_tpu.kernels import orb_descriptor as desc_k
+from orbslam3_tpu.opt.pose_gn import optimize_pose
+from orbslam3_tpu.slam_map.map_state import MapState
+from orbslam3_tpu.vision import matcher
+from orbslam3_tpu.vision.frame import FrameFeatures, extract_features
+from orbslam3_tpu.vision.twoview import reconstruct_two_views
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    RECENTLY_LOST = 3
+    LOST = 4
+
+
+@dataclasses.dataclass
+class TrackerConfig:
+    n_features: int = 600
+    init_min_matches: int = 80       # reference: 100 (mono init gate)
+    init_window_px: float = 100.0
+    min_track_matches: int = 20
+    min_inliers_ok: int = 15         # below -> RECENTLY_LOST
+    local_points_cap: int = 2048     # padded local-map candidate set
+    proj_radius: float = 15.0        # motion-model search window (px)
+    proj_radius_wide: float = 30.0
+    local_radius: float = 8.0
+    kf_ref_ratio: float = 0.9        # reference thRefRatio (mono)
+    kf_max_interval: int = 10        # frames; reference mMaxFrames ~ fps
+    kf_min_inliers: int = 15
+    max_mp_dist: int = 100           # TH_HIGH descriptor gate
+    recently_lost_frames: int = 20   # ~1s at 20fps (time_recently_lost)
+
+
+@dataclasses.dataclass
+class FrameRecord:
+    ts: float
+    ref_kf_uid: int  # stable keyframe id (slots are reused after culling)
+    Tcr_R: np.ndarray  # pose relative to reference keyframe: Tcw * Twr
+    Tcr_t: np.ndarray
+    state: TrackingState
+
+
+class Tracker:
+    """One tracking lane (the fork runs one per connected client)."""
+
+    def __init__(self, camera, slam_map: MapState, cfg: TrackerConfig = None,
+                 client_id: int = 0, local_mapper=None):
+        self.camera = camera
+        self.map = slam_map
+        self.cfg = cfg or TrackerConfig()
+        self.client_id = client_id
+        self.local_mapper = local_mapper
+        self.state = TrackingState.NO_IMAGES_YET
+        # initialization buffers
+        self._init_feats: Optional[FrameFeatures] = None
+        self._init_ts: float = 0.0
+        # last-frame state
+        self.R_cw = np.eye(3, dtype=np.float32)
+        self.t_cw = np.zeros(3, np.float32)
+        self._last_R = None
+        self._last_t = None
+        self._vel_R = np.eye(3, dtype=np.float32)  # velocity: Tcw_k * Tcw_{k-1}^-1
+        self._vel_t = np.zeros(3, np.float32)
+        self._last_feats: Optional[FrameFeatures] = None
+        self._last_mp_ids: Optional[np.ndarray] = None  # per-feature mp id
+        self.ref_kf: int = -1
+        self._ref_uid: int = -1
+        self.frame_id = 0
+        self._frames_since_kf = 0
+        self._lost_count = 0
+        self.trajectory: list[FrameRecord] = []
+        self.n_inliers = 0
+        self.debug = False
+
+    def _set_ref_kf(self, k: int):
+        self.ref_kf = k
+        self._ref_uid = int(self.map.kf_uid[k]) if k >= 0 else -1
+
+    # ------------------------------------------------------------------ api
+    def process_image(self, img: np.ndarray, ts: float):
+        feats = extract_features(jnp.asarray(img, jnp.float32),
+                                 n_features=self.cfg.n_features)
+        return self.process_features(feats, ts)
+
+    def process_features(self, feats: FrameFeatures, ts: float):
+        """Main entry (GrabImageMonocular/GrabImageEdge equivalent).
+
+        Returns the world->camera pose (R, t) or None while uninitialized.
+        """
+        self.frame_id += 1
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            self._monocular_initialization(feats, ts)
+        elif self.state in (TrackingState.OK, TrackingState.RECENTLY_LOST):
+            ok = self._track_frame(feats, ts)
+            if ok:
+                self.state = TrackingState.OK
+                self._lost_count = 0
+            else:
+                self._lost_count += 1
+                self.state = (
+                    TrackingState.RECENTLY_LOST
+                    if self._lost_count <= self.cfg.recently_lost_frames
+                    else TrackingState.LOST
+                )
+        self._record_pose(ts)
+        if self.state in (TrackingState.OK, TrackingState.RECENTLY_LOST):
+            return self.R_cw.copy(), self.t_cw.copy()
+        return None
+
+    # --------------------------------------------------------- initialization
+    def _monocular_initialization(self, feats: FrameFeatures, ts: float):
+        cfg = self.cfg
+        if self._init_feats is None:
+            if int(np.asarray(feats.valid).sum()) >= cfg.init_min_matches:
+                self._init_feats = feats
+                self._init_ts = ts
+            self.state = TrackingState.NOT_INITIALIZED
+            return
+
+        p_ref = desc_k.descriptor_planes(self._init_feats.desc)
+        p_cur = desc_k.descriptor_planes(feats.desc)
+        idx, dist, ok, n = matcher.search_for_initialization(
+            self._init_feats.uv, p_ref, self._init_feats.valid,
+            feats.uv, p_cur, feats.valid,
+            radius=cfg.init_window_px,
+        )
+        if int(n) < cfg.init_min_matches:
+            # reference: replace the reference frame and retry
+            self._init_feats = feats
+            self._init_ts = ts
+            return
+
+        x_ref = self.camera.unproject(self._init_feats.uv)[:, :2]
+        x_cur_all = self.camera.unproject(feats.uv)[:, :2]
+        x_cur = x_cur_all[idx]
+        focal = float(self.camera.params[0])
+        res = reconstruct_two_views(
+            jax.random.PRNGKey(self.frame_id),
+            x_ref, x_cur, ok, jnp.asarray((1.0 / focal) ** 2, jnp.float32),
+        )
+        if not bool(res.success):
+            return
+
+        inl = np.asarray(res.inliers)
+        pts = np.asarray(res.points)
+        # median-depth normalization (CreateInitialMapMonocular,
+        # Tracking.cc:2744-2760)
+        med = float(np.median(pts[inl, 2]))
+        if med <= 0:
+            return
+        pts = pts / med
+        R2 = np.asarray(res.R)
+        t2 = np.asarray(res.t) / med
+
+        # build the initial map: KF0 at identity, KF1 at (R2, t2)
+        N = self._init_feats.capacity
+        obs0 = np.full(N, -1, np.int32)
+        obs1 = np.full(feats.capacity, -1, np.int32)
+        ref_np = jax.device_get(self._init_feats)
+        cur_np = jax.device_get(feats)
+        idx_np = np.asarray(idx)
+
+        ids = self.map.add_points(
+            pos=pts[inl].astype(np.float32),
+            desc=np.asarray(cur_np.desc)[idx_np[inl]],
+            first_kf=0,
+        )
+        sel = np.nonzero(inl)[0]
+        good = ids >= 0
+        obs0[sel[good]] = ids[good]
+        obs1[idx_np[sel[good]]] = ids[good]
+
+        k0 = self.map.add_keyframe(
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32), self._init_ts,
+            self.frame_id - 1, np.asarray(ref_np.uv), np.asarray(ref_np.octave),
+            np.asarray(ref_np.angle), np.asarray(ref_np.desc),
+            np.asarray(ref_np.valid), obs0,
+        )
+        k1 = self.map.add_keyframe(
+            R2, t2, ts, self.frame_id, np.asarray(cur_np.uv),
+            np.asarray(cur_np.octave), np.asarray(cur_np.angle),
+            np.asarray(cur_np.desc), np.asarray(cur_np.valid), obs1,
+            prev_kf=k0,
+        )
+        self._update_mp_stats_after_insert(ids[good])
+
+        # init BA over the two keyframes (GlobalBundleAdjustemnt(20) equiv)
+        if self.local_mapper is not None:
+            self.local_mapper.initial_ba(k0, k1)
+
+        self.R_cw = self.map.kf_R[k1].copy()
+        self.t_cw = self.map.kf_t[k1].copy()
+        self._set_ref_kf(k1)
+        self._last_feats = feats
+        mp_ids = np.full(feats.capacity, -1, np.int32)
+        mp_ids[:] = self.map.kf_obs_mp[k1]
+        self._last_mp_ids = mp_ids
+        self._last_R = self.R_cw.copy()
+        self._last_t = self.t_cw.copy()
+        self._vel_R = np.eye(3, dtype=np.float32)
+        self._vel_t = np.zeros(3, np.float32)
+        self.state = TrackingState.OK
+        self._frames_since_kf = 0
+
+    # --------------------------------------------------------------- tracking
+    def _local_map_points(self) -> np.ndarray:
+        """Candidate map points: those seen by the reference KF and its
+        covisible neighbors (UpdateLocalMap, Tracking.cc:3420-3470)."""
+        m = self.map
+        kfs = [self.ref_kf] + list(m.covisibility(self.ref_kf, min_shared=10)[:10])
+        obs = m.kf_obs_mp[kfs]
+        ids = np.unique(obs[obs >= 0])
+        ids = ids[m.mp_valid[ids]]
+        return ids
+
+    def _track_frame(self, feats: FrameFeatures, ts: float) -> bool:
+        cfg = self.cfg
+        m = self.map
+        # reference KF may have been culled (slot possibly reused) — fall
+        # back to the newest keyframe (reference re-picks mpReferenceKF in
+        # UpdateLocalKeyFrames, Tracking.cc:3340-3420)
+        if (self.ref_kf < 0 or not m.kf_valid[self.ref_kf]
+                or m.kf_uid[self.ref_kf] != self._ref_uid):
+            ids = m.keyframe_ids()
+            if len(ids) == 0:
+                return False
+            self._set_ref_kf(int(ids[np.argmax(m.kf_frame_id[ids])]))
+        # motion-model prediction
+        R_pred = self._vel_R @ self.R_cw
+        t_pred = self._vel_R @ self.t_cw + self._vel_t
+
+        local_ids = self._local_map_points()
+        if len(local_ids) == 0:
+            return False
+        K = cfg.local_points_cap
+        ids_p = np.full(K, 0, np.int32)
+        valid_p = np.zeros(K, bool)
+        n = min(len(local_ids), K)
+        ids_p[:n] = local_ids[:n]
+        valid_p[:n] = True
+
+        mp_pos = jnp.asarray(m.mp_pos[ids_p])
+        mp_planes = desc_k.descriptor_planes(jnp.asarray(m.mp_desc[ids_p]))
+        f_planes = desc_k.descriptor_planes(feats.desc)
+
+        frustum_box = [None]
+
+        def search_and_optimize(R0, t0, radius, min_matches):
+            fidx, dist, matched, nm, in_frustum = matcher.search_by_projection(
+                mp_pos, mp_planes, jnp.asarray(valid_p),
+                jnp.asarray(R0), jnp.asarray(t0), self.camera,
+                feats.uv, f_planes, feats.octave, feats.valid,
+                jnp.asarray(radius, jnp.float32),
+                max_dist=cfg.max_mp_dist,
+            )
+            frustum_box[0] = np.asarray(in_frustum)
+            if self.debug:
+                print(f"    search r={radius}: nm={int(nm)} (min {min_matches})")
+            if int(nm) < min_matches:
+                return None
+            matched_np = np.asarray(matched)
+            fidx_np = np.asarray(fidx)
+            sel = np.nonzero(matched_np)[0]
+            pts = m.mp_pos[ids_p[sel]]
+            uv_obs = np.asarray(feats.uv)[fidx_np[sel]]
+            info = 1.0 / (1.2 ** (2 * np.asarray(feats.octave)[fidx_np[sel]]))
+            R, t, inliers, n_in = optimize_pose(
+                jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(pts),
+                jnp.asarray(uv_obs, jnp.float32), jnp.asarray(info, jnp.float32),
+                jnp.ones(len(sel), bool), self.camera,
+            )
+            if self.debug:
+                print(f"    optimize: n_in={int(n_in)}/{len(sel)}")
+            return (np.asarray(R), np.asarray(t), sel, fidx_np, np.asarray(inliers),
+                    int(n_in))
+
+        out = search_and_optimize(R_pred, t_pred, cfg.proj_radius,
+                                  cfg.min_track_matches)
+        if out is None:
+            out = search_and_optimize(R_pred, t_pred, cfg.proj_radius_wide,
+                                      cfg.min_track_matches)
+        if out is None and self.state == TrackingState.RECENTLY_LOST:
+            # widen from the last known-good pose
+            out = search_and_optimize(self.R_cw, self.t_cw,
+                                      cfg.proj_radius_wide * 2,
+                                      cfg.min_track_matches)
+        if out is None:
+            return False
+        R1, t1, _, _, _, _ = out
+
+        # local-map refinement pass (TrackLocalMap)
+        out2 = search_and_optimize(R1, t1, cfg.local_radius, cfg.min_inliers_ok)
+        if out2 is not None:
+            R1, t1, sel, fidx_np, inliers, n_in = out2
+        else:
+            _, _, sel, fidx_np, inliers, n_in = out
+        if n_in < cfg.min_inliers_ok:
+            return False
+
+        # bookkeeping: per-feature mp assignment for KF creation
+        mp_ids = np.full(feats.capacity, -1, np.int32)
+        good = sel[np.asarray(inliers)]
+        mp_ids[fidx_np[good]] = ids_p[good]
+        # found/visible counters (MapPoint tracking stats): `visible` only
+        # counts in-frustum points (reference IncreaseVisible is gated on
+        # Frame::isInFrustum in SearchLocalPoints, Tracking.cc:3515-3545)
+        if frustum_box[0] is not None:
+            m.mp_visible[ids_p[np.nonzero(frustum_box[0])[0]]] += 1
+        m.mp_found[ids_p[good]] += 1
+
+        # velocity model update
+        self._vel_R = (R1 @ self.R_cw.T).astype(np.float32)
+        self._vel_t = (t1 - self._vel_R @ self.t_cw).astype(np.float32)
+        self.R_cw, self.t_cw = R1.astype(np.float32), t1.astype(np.float32)
+        self._last_feats = feats
+        self._last_mp_ids = mp_ids
+        self.n_inliers = n_in
+        self._frames_since_kf += 1
+
+        # keyframe policy
+        if self._need_new_keyframe(n_in):
+            self._create_keyframe(feats, ts, mp_ids)
+        return True
+
+    def _need_new_keyframe(self, n_in: int) -> bool:
+        cfg = self.cfg
+        if self.ref_kf < 0:
+            return False
+        ref_tracked = int((self.map.kf_obs_mp[self.ref_kf] >= 0).sum())
+        if n_in < cfg.kf_min_inliers:
+            return False
+        weak = n_in < cfg.kf_ref_ratio * ref_tracked
+        stale = self._frames_since_kf >= cfg.kf_max_interval
+        return weak or stale
+
+    def _create_keyframe(self, feats: FrameFeatures, ts: float,
+                         mp_ids: np.ndarray):
+        f = jax.device_get(feats)
+        k = self.map.add_keyframe(
+            self.R_cw, self.t_cw, ts, self.frame_id,
+            np.asarray(f.uv), np.asarray(f.octave), np.asarray(f.angle),
+            np.asarray(f.desc), np.asarray(f.valid), mp_ids.copy(),
+            prev_kf=self.ref_kf,
+        )
+        self._update_mp_stats_after_insert(mp_ids[mp_ids >= 0])
+        self._set_ref_kf(k)
+        self._frames_since_kf = 0
+        if self.local_mapper is not None:
+            self.local_mapper.process_keyframe(k)
+            # adopt possibly-updated pose
+            self.R_cw = self.map.kf_R[k].copy()
+            self.t_cw = self.map.kf_t[k].copy()
+
+    def _update_mp_stats_after_insert(self, ids):
+        ids = np.asarray(ids)
+        ids = ids[ids >= 0]
+        self.map.mp_visible[ids] += 1
+        self.map.mp_found[ids] += 1
+
+    # ------------------------------------------------------------- trajectory
+    def _record_pose(self, ts: float):
+        if self.state not in (TrackingState.OK, TrackingState.RECENTLY_LOST):
+            return
+        if self.ref_kf < 0:
+            return
+        # Tcr = Tcw * Trw^-1 (relative to reference KF, Tracking.cc:2440-2459)
+        Rr, tr = self.map.kf_R[self.ref_kf], self.map.kf_t[self.ref_kf]
+        R_rel = self.R_cw @ Rr.T
+        t_rel = self.t_cw - R_rel @ tr
+        self.trajectory.append(
+            FrameRecord(ts=ts, ref_kf_uid=int(self.map.kf_uid[self.ref_kf]),
+                        Tcr_R=R_rel, Tcr_t=t_rel, state=self.state)
+        )
+
+    def export_trajectory(self) -> tuple[np.ndarray, np.ndarray]:
+        """(T,) timestamps + (T,3) camera centers in world frame, composing
+        the logged relative poses with the *current* (optimized) KF poses —
+        the reference's SaveTrajectoryTUM logic (System.cc:666-724). Records
+        whose reference keyframe was culled are skipped (the reference walks
+        the spanning tree instead; TODO for the pose-graph milestone)."""
+        uid_to_slot = {int(self.map.kf_uid[k]): int(k)
+                       for k in self.map.keyframe_ids()}
+        ts, centers = [], []
+        for rec in self.trajectory:
+            slot = uid_to_slot.get(rec.ref_kf_uid, -1)
+            if slot < 0:
+                continue
+            Rr, tr = self.map.kf_R[slot], self.map.kf_t[slot]
+            R = rec.Tcr_R @ Rr
+            t = rec.Tcr_R @ tr + rec.Tcr_t
+            centers.append(-R.T @ t)
+            ts.append(rec.ts)
+        return np.asarray(ts), np.asarray(centers, np.float32)

@@ -194,7 +194,9 @@ def ba_solve_iteration(prob: BAProblem, camera, lm_lambda):
     dl = jnp.where((empty_lm | prob.fixed_lm)[:, None], 0.0, dl)
 
     dRs, dts = lie.se3_exp(dp)
-    R_new = dRs @ prob.R
+    # renormalize onto SO(3): repeated fp32 compositions otherwise accumulate
+    # scale/shear that bakes a zoom distortion into the map (see pose_gn.py)
+    R_new = lie.so3_normalize(dRs @ prob.R)
     t_new = jnp.einsum("mij,mj->mi", dRs, prob.t) + dts
     pts_new = prob.points + dl
     cost = jnp.sum(robust.huber_rho(chi2, HUBER_MONO) * (w > 0))

@@ -1,0 +1,232 @@
+"""Map data model: fixed-capacity structure-of-arrays map state.
+
+TPU-native replacement for the reference's pointer-linked map objects
+(`/root/reference/src/{Map,KeyFrame,MapPoint}.cc`, `include/Map.h:76-134`,
+`include/KeyFrame.h:221-247`, `include/MapPoint.h`):
+
+  KeyFrame  -> rows of kf_* arrays (pose, features, per-slot observation)
+  MapPoint  -> rows of mp_* arrays (position, representative descriptor,
+               view-direction/distance stats, found/visible counters)
+  observations (MapPoint::mObservations / KeyFrame::mvpMapPoints)
+            -> kf_obs_mp[(kf, feature_slot)] = mp_id   (-1 = none)
+  covisibility graph -> recomputed on demand as a boolean matmul over the
+               observation incidence matrix (see covisibility())
+
+The class is the framework's "actor shell" state: plain numpy on the host for
+cheap random mutation by the tracking/mapping actors, with `device_*` helpers
+exporting padded jnp views for the jitted kernels (matching, BA). Lifecycle
+(SetBadFlag-style erasure) is tombstoning via the valid masks; capacities are
+static so every downstream kernel compiles once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MapConfig:
+    max_keyframes: int = 256
+    max_points: int = 20000
+    features_per_frame: int = 1000
+
+
+class MapState:
+    """One SLAM map (the reference's `Map`); Atlas holds several of these."""
+
+    def __init__(self, cfg: MapConfig, map_id: int = 0):
+        self.cfg = cfg
+        self.map_id = map_id
+        M, P, N = cfg.max_keyframes, cfg.max_points, cfg.features_per_frame
+        # keyframes
+        self.kf_R = np.tile(np.eye(3, dtype=np.float32), (M, 1, 1))
+        self.kf_t = np.zeros((M, 3), np.float32)
+        self.kf_valid = np.zeros(M, bool)
+        self.kf_ts = np.zeros(M, np.float64)
+        self.kf_frame_id = np.full(M, -1, np.int64)
+        self.kf_uv = np.zeros((M, N, 2), np.float32)
+        self.kf_octave = np.zeros((M, N), np.int32)
+        self.kf_angle = np.zeros((M, N), np.float32)
+        self.kf_desc = np.zeros((M, N, 8), np.uint32)
+        self.kf_feat_valid = np.zeros((M, N), bool)
+        self.kf_obs_mp = np.full((M, N), -1, np.int32)
+        # IMU state per keyframe (used once inertial is initialized)
+        self.kf_vel = np.zeros((M, 3), np.float32)
+        self.kf_bias = np.zeros((M, 6), np.float32)
+        self.kf_prev = np.full(M, -1, np.int32)  # temporal chain (mPrevKF)
+        # map points
+        self.mp_pos = np.zeros((P, 3), np.float32)
+        self.mp_desc = np.zeros((P, 8), np.uint32)
+        self.mp_valid = np.zeros(P, bool)
+        self.mp_normal = np.zeros((P, 3), np.float32)
+        self.mp_min_dist = np.zeros(P, np.float32)
+        self.mp_max_dist = np.zeros(P, np.float32)
+        self.mp_visible = np.zeros(P, np.int32)
+        self.mp_found = np.zeros(P, np.int32)
+        self.mp_first_kf = np.full(P, -1, np.int32)
+        self.mp_ref_kf = np.full(P, -1, np.int32)
+        # stable keyframe identity across slot reuse (reference KFs carry
+        # monotonically increasing mnId; slots here are reusable storage)
+        self.kf_uid = np.full(M, -1, np.int64)
+        self._next_uid = 0
+        # change bookkeeping (reference Map::mnMapChange)
+        self.change_index = 0
+        self.imu_initialized = False
+        self.iba_stage = 0  # 0: none, 1: VIBA1 done, 2: VIBA2 done
+
+    # -- keyframes -----------------------------------------------------------
+    @property
+    def n_keyframes(self) -> int:
+        return int(self.kf_valid.sum())
+
+    @property
+    def n_points(self) -> int:
+        return int(self.mp_valid.sum())
+
+    def keyframe_ids(self) -> np.ndarray:
+        return np.nonzero(self.kf_valid)[0]
+
+    def add_keyframe(self, R, t, ts, frame_id, uv, octave, angle, desc,
+                     feat_valid, obs_mp, prev_kf: int = -1,
+                     vel=None, bias=None) -> int:
+        free = np.nonzero(~self.kf_valid)[0]
+        if len(free) == 0:
+            raise RuntimeError("keyframe capacity exhausted")
+        k = int(free[0])
+        self.kf_R[k] = R
+        self.kf_t[k] = t
+        self.kf_ts[k] = ts
+        self.kf_frame_id[k] = frame_id
+        self.kf_uv[k] = uv
+        self.kf_octave[k] = octave
+        self.kf_angle[k] = angle
+        self.kf_desc[k] = desc
+        self.kf_feat_valid[k] = feat_valid
+        self.kf_obs_mp[k] = obs_mp
+        self.kf_prev[k] = prev_kf
+        if vel is not None:
+            self.kf_vel[k] = vel
+        if bias is not None:
+            self.kf_bias[k] = bias
+        self.kf_uid[k] = self._next_uid
+        self._next_uid += 1
+        self.kf_valid[k] = True
+        self.change_index += 1
+        return k
+
+    def slot_of_uid(self, uid: int) -> int:
+        """Current slot of a keyframe uid, or -1 if culled."""
+        hits = np.nonzero(self.kf_valid & (self.kf_uid == uid))[0]
+        return int(hits[0]) if len(hits) else -1
+
+    def remove_keyframe(self, k: int):
+        """SetBadFlag equivalent: tombstone the KF and its observations."""
+        self.kf_valid[k] = False
+        self.kf_obs_mp[k] = -1
+        self.change_index += 1
+
+    # -- map points ----------------------------------------------------------
+    def add_points(self, pos, desc, first_kf, normals=None,
+                   min_dist=None, max_dist=None) -> np.ndarray:
+        """Bulk-allocate map points; returns their ids (-1 where full)."""
+        n = len(pos)
+        free = np.nonzero(~self.mp_valid)[0][:n]
+        ids = np.full(n, -1, np.int32)
+        m = len(free)
+        ids[:m] = free
+        self.mp_pos[free] = pos[:m]
+        self.mp_desc[free] = desc[:m]
+        self.mp_first_kf[free] = first_kf
+        self.mp_ref_kf[free] = first_kf
+        self.mp_normal[free] = normals[:m] if normals is not None else 0.0
+        self.mp_min_dist[free] = min_dist[:m] if min_dist is not None else 0.0
+        self.mp_max_dist[free] = max_dist[:m] if max_dist is not None else np.inf
+        self.mp_visible[free] = 1
+        self.mp_found[free] = 1
+        self.mp_valid[free] = True
+        self.change_index += 1
+        return ids
+
+    def merge_points(self, keep_id: int, drop_id: int):
+        """MapPoint::Replace equivalent: re-point every observation of
+        `drop_id` at `keep_id` (unless the keyframe already observes keep_id)
+        and tombstone drop_id."""
+        if keep_id == drop_id or not self.mp_valid[drop_id]:
+            return
+        kk, slots = np.nonzero(self.kf_obs_mp == drop_id)
+        for k, s in zip(kk, slots):
+            if (self.kf_obs_mp[k] == keep_id).any():
+                self.kf_obs_mp[k, s] = -1  # KF already sees keep: drop obs
+            else:
+                self.kf_obs_mp[k, s] = keep_id
+        self.mp_found[keep_id] += self.mp_found[drop_id]
+        self.mp_visible[keep_id] += self.mp_visible[drop_id]
+        self.mp_valid[drop_id] = False
+        self.change_index += 1
+
+    def remove_points(self, ids: np.ndarray):
+        ids = np.asarray(ids, np.int32)
+        ids = ids[ids >= 0]
+        self.mp_valid[ids] = False
+        # clear observations referencing them
+        mask = np.isin(self.kf_obs_mp, ids)
+        self.kf_obs_mp[mask] = -1
+        self.change_index += 1
+
+    # -- observation graph ---------------------------------------------------
+    def observation_count(self) -> np.ndarray:
+        """(P,) number of keyframes observing each map point."""
+        P = self.cfg.max_points
+        counts = np.zeros(P, np.int64)
+        obs = self.kf_obs_mp[self.kf_valid]
+        flat = obs[obs >= 0]
+        np.add.at(counts, flat, 1)
+        return counts
+
+    def incidence(self) -> np.ndarray:
+        """(M, P) bool: keyframe k observes point p."""
+        M, P = self.cfg.max_keyframes, self.cfg.max_points
+        inc = np.zeros((M, P), bool)
+        kk, slots = np.nonzero(self.kf_obs_mp >= 0)
+        inc[kk, self.kf_obs_mp[kk, slots]] = True
+        inc[~self.kf_valid] = False
+        inc[:, ~self.mp_valid] = False
+        return inc
+
+    def covisibility(self, k: int, min_shared: int = 15) -> np.ndarray:
+        """KF ids sharing >= min_shared map points with KF k, sorted by
+        weight descending (reference KeyFrame::GetBestCovisibilityKeyFrames /
+        UpdateConnections, KeyFrame.h:221-230)."""
+        inc = self.incidence()
+        w = inc @ inc[k].astype(np.int64)
+        w[k] = 0
+        w[~self.kf_valid] = 0
+        ids = np.nonzero(w >= min_shared)[0]
+        return ids[np.argsort(-w[ids])]
+
+    def observations_of(self, mp_ids: np.ndarray):
+        """All (kf, slot) observations of the given points as COO arrays."""
+        sel = np.zeros(self.cfg.max_points + 1, bool)
+        sel[mp_ids[mp_ids >= 0]] = True
+        kk, slots = np.nonzero(self.kf_valid[:, None] & (self.kf_obs_mp >= 0))
+        mp = self.kf_obs_mp[kk, slots]
+        keep = sel[mp]
+        return kk[keep], slots[keep], mp[keep]
+
+    # -- gauge re-scaling (reference Map::ApplyScaledRotation) ---------------
+    def apply_scaled_rotation(self, Rgw: np.ndarray, scale: float,
+                              scale_velocities: bool = True):
+        """Re-gauge the whole map: x' = scale * Rgw x (+ pose chain update),
+        used after IMU initialization (src/Map.cc ApplyScaledRotation,
+        called from LocalMapping::InitializeIMU at LocalMapping.cc:1283-1299).
+        Poses are Tcw: R_cw' = R_cw Rgw^T ; t_cw' = scale * t_cw.
+        """
+        ks = self.kf_valid
+        self.kf_R[ks] = self.kf_R[ks] @ Rgw.T[None]
+        self.kf_t[ks] = self.kf_t[ks] * scale
+        self.mp_pos[self.mp_valid] = scale * (self.mp_pos[self.mp_valid] @ Rgw.T)
+        if scale_velocities:
+            self.kf_vel[ks] = scale * (self.kf_vel[ks] @ Rgw.T)
+        self.change_index += 1

@@ -1,0 +1,178 @@
+"""Synthetic SLAM sequence generators for tests and benchmarks.
+
+The build environment has no EuRoC/TUM-VI data (zero egress), so end-to-end
+behavior is validated on generated worlds with exact ground truth — the role
+the reference fills with dataset example binaries (SURVEY.md section 4).
+
+Two modes:
+  * feature-level: per-frame `FrameFeatures` synthesized from a persistent
+    3-D landmark field (per-landmark 256-bit descriptor with per-observation
+    bit flips, pixel noise, dropout, distractor features). Exercises data
+    association, tracking, mapping, BA — everything but pixel processing.
+  * image-level: textured-quad renderings for extraction-in-the-loop tests.
+  * IMU: analytic trajectories with exact angular velocity / acceleration
+    samples for preintegration and VI-init tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from orbslam3_tpu.core import lie
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class SynthWorld:
+    points: np.ndarray        # (P,3) landmark positions
+    desc_bits: np.ndarray     # (P,256) uint8 canonical descriptors
+    rng: np.random.Generator
+
+
+def make_world(n_points=2000, box=((-8, 8), (-5, 5), (2, 14)), seed=0) -> SynthWorld:
+    rng = np.random.default_rng(seed)
+    pts = np.stack(
+        [rng.uniform(*box[i], n_points) for i in range(3)], axis=-1
+    ).astype(np.float32)
+    bits = rng.integers(0, 2, (n_points, 256)).astype(np.uint8)
+    return SynthWorld(points=pts, desc_bits=bits, rng=rng)
+
+
+def orbit_trajectory(n_frames=120, radius=3.0, height=0.4, center=(0, 0, 8.0),
+                     arc=1.2, forward_axis=2):
+    """Camera orbit segment looking at `center`. Returns (R_cw, t_cw) lists
+    (world->camera poses)."""
+    Rs, ts = [], []
+    cx, cy, cz = center
+    for i in range(n_frames):
+        a = arc * i / max(n_frames - 1, 1) - arc / 2
+        cam_pos = np.array(
+            [cx + radius * np.sin(a), cy + height * np.sin(2 * a), cz - radius * np.cos(a)],
+            np.float32,
+        )
+        # look-at: z-axis towards center
+        z = np.asarray(center, np.float32) - cam_pos
+        z = z / np.linalg.norm(z)
+        x = np.cross(np.array([0.0, 1.0, 0.0], np.float32), z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R_wc = np.stack([x, y, z], axis=-1)  # columns = camera axes in world
+        R_cw = R_wc.T
+        t_cw = -R_cw @ cam_pos
+        Rs.append(R_cw.astype(np.float32))
+        ts.append(t_cw.astype(np.float32))
+    return np.stack(Rs), np.stack(ts)
+
+
+def render_features(
+    world: SynthWorld,
+    R_cw: np.ndarray, t_cw: np.ndarray,
+    camera,
+    capacity: int = 600,
+    noise_px: float = 0.4,
+    bit_flips: int = 10,
+    dropout: float = 0.15,
+    n_distractors: int = 40,
+    seed: int = 0,
+):
+    """Synthesize one frame's FrameFeatures + ground-truth landmark ids."""
+    from orbslam3_tpu.vision.frame import FrameFeatures
+    from orbslam3_tpu.kernels.orb_descriptor import pack_bits
+
+    rng = np.random.default_rng(seed)
+    xc = world.points @ R_cw.T + t_cw
+    uv = np.asarray(camera.project(jnp.asarray(xc)))
+    w, h = camera.width, camera.height
+    vis = (
+        (xc[:, 2] > 0.3)
+        & (uv[:, 0] >= 8) & (uv[:, 0] < w - 8)
+        & (uv[:, 1] >= 8) & (uv[:, 1] < h - 8)
+    )
+    vis &= rng.uniform(size=len(vis)) > dropout
+    ids = np.nonzero(vis)[0]
+    rng.shuffle(ids)
+    ids = ids[: capacity - n_distractors]
+    n = len(ids)
+
+    uv_obs = uv[ids] + rng.normal(scale=noise_px, size=(n, 2))
+    bits = world.desc_bits[ids].copy()
+    flips = rng.integers(0, 256, (n, bit_flips))
+    for k in range(bit_flips):
+        bits[np.arange(n), flips[:, k]] ^= 1
+
+    n_d = min(n_distractors, capacity - n)
+    uv_dis = np.stack(
+        [rng.uniform(0, w, n_d), rng.uniform(0, h, n_d)], axis=-1
+    )
+    bits_dis = rng.integers(0, 2, (n_d, 256)).astype(np.uint8)
+
+    total = n + n_d
+    uv_all = np.zeros((capacity, 2), np.float32)
+    uv_all[:n] = uv_obs
+    uv_all[n:total] = uv_dis
+    bits_all = np.zeros((capacity, 256), np.uint8)
+    bits_all[:n] = bits
+    bits_all[n:total] = bits_dis
+    gt_ids = np.full(capacity, -1, np.int64)
+    gt_ids[:n] = ids
+    valid = np.zeros(capacity, bool)
+    valid[:total] = True
+
+    packed = np.asarray(pack_bits(jnp.asarray(bits_all, jnp.uint32)))
+    feats = FrameFeatures(
+        uv=jnp.asarray(uv_all),
+        uv_raw=jnp.asarray(uv_all),
+        response=jnp.asarray(valid, jnp.float32),
+        angle=jnp.zeros(capacity, jnp.float32),
+        octave=jnp.zeros(capacity, jnp.int32),
+        desc=jnp.asarray(packed),
+        valid=jnp.asarray(valid),
+    )
+    return feats, gt_ids
+
+
+def imu_orbit_samples(R_cw, t_cw, ts, rate=200.0, g=9.81, seed=0,
+                      gyro_noise=0.0, acc_noise=0.0, gyro_bias=None, acc_bias=None):
+    """Finite-difference IMU samples consistent with a camera pose sequence
+    (body == camera frame). Returns per-interval (acc, gyro, dt) arrays lists.
+    """
+    rng = np.random.default_rng(seed)
+    # world-frame positions and rotations of the body
+    R_wb = np.swapaxes(R_cw, -1, -2)
+    p_wb = -np.einsum("nij,nj->ni", R_wb, t_cw)
+    out = []
+    g_w = np.array([0.0, 0.0, -g])
+    for i in range(len(ts) - 1):
+        t0, t1 = ts[i], ts[i + 1]
+        n = max(int(round((t1 - t0) * rate)), 2)
+        tau = np.linspace(t0, t1, n + 1)
+        # interpolate pose: slerp via log/exp, linear position w/ spline accel
+        # use quadratic fit over [i-1, i, i+1] for acceleration
+        im = max(i - 1, 0)
+        ip = min(i + 2, len(ts) - 1)
+        # angular velocity (body): log(R_wb_i^T R_wb_{i+1}) / dt
+        dR = R_wb[i].T @ R_wb[i + 1]
+        w_b = np.asarray(lie.so3_log(jnp.asarray(dR.astype(np.float32)))) / (t1 - t0)
+        # acceleration via central differences of position
+        if 0 < i < len(ts) - 2:
+            dt = ts[i + 1] - ts[i]
+            a_w = (p_wb[i + 2] - p_wb[i + 1] - p_wb[i] + p_wb[i - 1]) / (2 * dt * dt)
+        else:
+            a_w = np.zeros(3)
+        acc_b = R_wb[i].T @ (a_w - g_w)
+        dt_s = np.diff(tau)
+        acc = np.tile(acc_b, (n, 1))
+        gyr = np.tile(w_b, (n, 1))
+        if gyro_noise > 0:
+            gyr = gyr + rng.normal(scale=gyro_noise, size=gyr.shape)
+        if acc_noise > 0:
+            acc = acc + rng.normal(scale=acc_noise, size=acc.shape)
+        if gyro_bias is not None:
+            gyr = gyr + gyro_bias
+        if acc_bias is not None:
+            acc = acc + acc_bias
+        out.append((acc.astype(np.float32), gyr.astype(np.float32),
+                    dt_s.astype(np.float32)))
+    return out

@@ -1,0 +1,179 @@
+"""Data-association policies over the Hamming distance matrix.
+
+TPU-native replacement for `ORBmatcher`'s Search* family
+(`/root/reference/src/ORBmatcher.cc`: `SearchByProjection` overloads,
+`SearchForInitialization`, `SearchForTriangulation`, `Fuse`). The reference
+walks per-feature candidate lists from a 64x48 image grid; here every policy
+is "full distance matrix + masks" — the MXU makes the full matrix cheaper
+than gather-heavy candidate lists, and the grid becomes a pixel-window mask.
+
+All functions are jitted device code over fixed-capacity arrays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.core import lie
+from orbslam3_tpu.kernels import hamming as ham
+from orbslam3_tpu.kernels import orb_descriptor as desc_k
+
+BIG = jnp.int32(1 << 20)
+
+
+def project_points(R, t, camera, pts, margin: float = 0.0):
+    """Project world points; returns (uv, depth, visible mask)."""
+    xc = lie.se3_apply(R, t, pts)
+    uv = camera.project(xc)
+    w, h = camera.width, camera.height
+    vis = (
+        (xc[..., 2] > 0.05)
+        & (uv[..., 0] >= -margin) & (uv[..., 0] < w + margin)
+        & (uv[..., 1] >= -margin) & (uv[..., 1] < h + margin)
+    )
+    return uv, xc[..., 2], vis
+
+
+def _resolve_duplicates(best_feat, best_dist, ok, n_feats):
+    """Keep at most one map point per feature (the closest in descriptor
+    space) — the reference does this with per-feature bookkeeping in its
+    candidate loops."""
+    dist_f = jnp.where(ok, best_dist, BIG)
+    per_feat = jnp.full((n_feats,), BIG, best_dist.dtype).at[best_feat].min(dist_f)
+    keep = ok & (dist_f <= per_feat[best_feat])
+    # break exact-distance ties: first point index wins
+    order = jnp.arange(best_feat.shape[0])
+    first = jnp.full((n_feats,), 1 << 30).at[best_feat].min(
+        jnp.where(keep, order, 1 << 30)
+    )
+    keep = keep & (first[best_feat] == order)
+    return keep
+
+
+@partial(jax.jit, static_argnames=("max_dist", "ratio"))
+def search_by_projection(
+    mp_pos: jax.Array,       # (K,3) candidate map points (world)
+    mp_planes: jax.Array,    # (K,256) +/-1 descriptor planes
+    mp_valid: jax.Array,     # (K,) bool
+    R: jax.Array, t: jax.Array,
+    camera,
+    f_uv: jax.Array,         # (N,2) frame keypoints
+    f_planes: jax.Array,     # (N,256)
+    f_octave: jax.Array,     # (N,) int32
+    f_valid: jax.Array,      # (N,) bool
+    radius: jax.Array,       # scalar px search window (scaled per octave)
+    max_dist: int = ham.TH_HIGH,
+    ratio: float = 0.9,
+):
+    """Project map points into the frame and associate to keypoints within a
+    window (reference `SearchByProjection` for tracking,
+    ORBmatcher.cc tracking overload).
+
+    Returns (feat_idx (K,), dist (K,), matched (K,), n_matches, in_frustum (K,)).
+    """
+    uv, depth, vis = project_points(R, t, camera, mp_pos)
+    vis = vis & mp_valid
+
+    d2 = jnp.sum(jnp.square(uv[:, None, :] - f_uv[None, :, :]), axis=-1)
+    r = radius * (1.2 ** f_octave.astype(jnp.float32))  # octave-scaled window
+    window = d2 <= jnp.square(r)[None, :]
+
+    dist = ham.distance_matrix(mp_planes, f_planes)
+    dist = jnp.where(window & vis[:, None] & f_valid[None, :], dist, BIG)
+
+    idx, best, ok = ham.match_ratio(dist, max_dist=max_dist, ratio=ratio)
+    ok = ok & vis
+    keep = _resolve_duplicates(idx, best, ok, f_uv.shape[0])
+    return idx, best, keep, jnp.sum(keep), vis
+
+
+@partial(jax.jit, static_argnames=("max_dist", "ratio"))
+def search_for_initialization(
+    uv1, planes1, valid1, uv2, planes2, valid2,
+    radius: float = 100.0, max_dist: int = ham.TH_LOW, ratio: float = 0.9,
+):
+    """Frame-1 -> frame-2 matching in a wide window with mutual check
+    (reference `SearchForInitialization`, ORBmatcher.cc)."""
+    d2 = jnp.sum(jnp.square(uv1[:, None, :] - uv2[None, :, :]), axis=-1)
+    window = d2 <= radius * radius
+    dist = ham.distance_matrix(planes1, planes2)
+    dist = jnp.where(window & valid1[:, None] & valid2[None, :], dist, BIG)
+    idx, best, ok = ham.match_ratio(dist, max_dist=max_dist, ratio=ratio)
+    idx_ba, _, _ = ham.match_ratio(dist.T, max_dist=max_dist, ratio=ratio)
+    ok = ham.mutual_filter(idx, ok, idx_ba)
+    return idx, best, ok, jnp.sum(ok)
+
+
+@partial(jax.jit, static_argnames=("max_dist",))
+def search_for_triangulation(
+    uv1, planes1, avail1,      # KF1 unmatched features
+    uv2, planes2, avail2,      # KF2 unmatched features
+    R1, t1, R2, t2,            # Tcw poses
+    camera,
+    epi_sigma: float = 2.0,    # wider than the reference's 1.0: tolerates
+                               # small window-pose errors; the triangulation
+                               # acceptance gates filter false pairs
+    max_dist: int = ham.TH_LOW,
+):
+    """Match unassigned features across two keyframes under the epipolar
+    constraint (reference `SearchForTriangulation`, ORBmatcher.cc — BoW
+    buckets replaced by the full masked distance matrix).
+
+    Returns (idx (N1,), ok (N1,)) mapping KF1 features to KF2 features.
+    """
+    # relative pose cam2<-cam1 and essential matrix
+    R12 = R2 @ R1.T
+    t12 = t2 - R12 @ t1
+    E = lie.hat(t12) @ R12
+    # normalized coords
+    x1 = camera.unproject(uv1)  # (N1,3) z=1
+    x2 = camera.unproject(uv2)
+    # epipolar distance of x2 to line E x1 (in normalized units)
+    l2 = x1 @ E.T  # (N1,3)
+    num = jnp.abs(jnp.einsum("mj,nj->mn", l2, x2))
+    den = jnp.sqrt(jnp.maximum(l2[:, 0] ** 2 + l2[:, 1] ** 2, 1e-12))[:, None]
+    focal = camera.params[0]
+    epi_px = num / den * focal
+    epi_ok = epi_px < 3.84 * epi_sigma
+
+    dist = ham.distance_matrix(planes1, planes2)
+    dist = jnp.where(epi_ok & avail1[:, None] & avail2[None, :], dist, BIG)
+    idx, best, ok = ham.match_ratio(dist, max_dist=max_dist, ratio=0.8)
+    idx_ba, _, _ = ham.match_ratio(dist.T, max_dist=max_dist, ratio=0.8)
+    ok = ham.mutual_filter(idx, ok, idx_ba)
+    return idx, ok
+
+
+@partial(jax.jit, static_argnames=("max_dist",))
+def fuse_by_projection(
+    mp_pos, mp_planes, mp_valid,
+    R, t, camera,
+    f_uv, f_planes, f_octave, f_valid,
+    radius: float = 3.0,
+    max_dist: int = ham.TH_LOW,
+):
+    """Project candidate map points into a keyframe and associate them with
+    nearby features (reference `Fuse`, ORBmatcher.cc:~1470). The caller binds
+    free features and MERGES when the feature already carries another map
+    point — the merge is what prevents duplicate landmarks from accumulating.
+
+    Returns (feat_idx (K,), matched (K,)).
+    """
+    uv, depth, vis = project_points(R, t, camera, mp_pos)
+    vis = vis & mp_valid
+    d2 = jnp.sum(jnp.square(uv[:, None, :] - f_uv[None, :, :]), axis=-1)
+    r = radius * (1.2 ** f_octave.astype(jnp.float32))
+    window = d2 <= jnp.square(r)[None, :]
+    dist = ham.distance_matrix(mp_planes, f_planes)
+    dist = jnp.where(window & vis[:, None] & f_valid[None, :], dist, BIG)
+    idx, best, ok = ham.match_ratio(dist, max_dist=max_dist, ratio=1.0)
+    ok = ok & vis
+    keep = _resolve_duplicates(idx, best, ok, f_uv.shape[0])
+    return idx, keep
+
+
+def mp_descriptor_planes(mp_desc_packed: jax.Array) -> jax.Array:
+    return desc_k.descriptor_planes(mp_desc_packed)
