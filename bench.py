@@ -1,0 +1,54 @@
+"""Headline benchmark: tracking front-end latency per frame on one chip.
+
+Measures the flagship per-frame device program (ORB extraction -> projection
+association -> robust pose GN, i.e. `__graft_entry__.entry()`), the hot path
+the reference runs in 20-40 ms/frame on a desktop i7
+(`/root/reference/README.md` §2 real-time claim; BASELINE.md §B "Tracking
+thread latency" ~30 ms midpoint).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline > 1 means faster than the reference baseline.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BASELINE_MS = 30.0  # reference tracking ms/frame midpoint (i7, BASELINE.md)
+
+
+def main():
+    import __graft_entry__
+
+    fn, (img, R0, t0) = __graft_entry__.entry()
+    step = jax.jit(fn)
+
+    # warmup / compile
+    out = step(img, R0, t0)
+    jax.block_until_ready(out)
+
+    # steady-state: feed fresh frames (new pixel content, same shapes)
+    rng = np.random.default_rng(1)
+    frames = [jnp.asarray(rng.uniform(0, 255, img.shape), jnp.float32)
+              for _ in range(8)]
+    n_iters = 50
+    t_start = time.perf_counter()
+    for i in range(n_iters):
+        out = step(frames[i % len(frames)], R0, t0)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t_start
+    ms = elapsed / n_iters * 1e3
+
+    print(json.dumps({
+        "metric": "tracking_frontend_ms_per_frame",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Distributed (landmark-sharded) BA vs the single-device reference solver.
+
+Validates the multi-chip design on the virtual 8-device CPU mesh: routing,
+shard_map Schur assembly with psum, replicated solve, local back-substitution.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orbslam3_tpu.core.camera import Camera
+from orbslam3_tpu.core import lie
+from orbslam3_tpu.opt.ba import BAProblem, bundle_adjust
+from orbslam3_tpu.distributed.mesh import make_mesh
+from orbslam3_tpu.distributed.sharded_ba import make_sharded_ba, route_observations
+
+
+def _synthetic_ba(M=8, P_pts=64, obs_per_pt=5, noise=0.5, seed=0):
+    rng = np.random.default_rng(seed)
+    cam = Camera.pinhole(450.0, 450.0, 376.0, 240.0)
+    pts = np.stack([rng.uniform(-4, 4, P_pts), rng.uniform(-3, 3, P_pts),
+                    rng.uniform(6, 14, P_pts)], -1).astype(np.float32)
+    Rs, ts = [], []
+    for i in range(M):
+        w = rng.normal(scale=0.05, size=3).astype(np.float32)
+        R = np.asarray(lie.so3_exp(jnp.asarray(w)))
+        t = np.array([0.4 * i - 0.2 * M, 0, 0], np.float32)
+        Rs.append(R)
+        ts.append(t)
+    Rs, ts = np.stack(Rs), np.stack(ts)
+
+    kf_idx, lm_idx, uvs = [], [], []
+    for p in range(P_pts):
+        for k in rng.choice(M, size=obs_per_pt, replace=False):
+            xc = Rs[k] @ pts[p] + ts[k]
+            uv = np.asarray(cam.project(jnp.asarray(xc)))
+            kf_idx.append(k)
+            lm_idx.append(p)
+            uvs.append(uv + rng.normal(scale=noise, size=2))
+    O = len(kf_idx)
+    O_pad = -(-O // 8) * 8
+    kf = np.zeros(O_pad, np.int32)
+    lm = np.zeros(O_pad, np.int32)
+    uv = np.zeros((O_pad, 2), np.float32)
+    valid = np.zeros(O_pad, bool)
+    kf[:O] = kf_idx
+    lm[:O] = lm_idx
+    uv[:O] = uvs
+    valid[:O] = True
+
+    # perturb initial state
+    R0 = np.stack([
+        np.asarray(lie.so3_exp(jnp.asarray(
+            rng.normal(scale=0.01, size=3).astype(np.float32)))) @ Rs[i]
+        for i in range(M)])
+    t0 = ts + rng.normal(scale=0.03, size=ts.shape).astype(np.float32)
+    p0 = pts + rng.normal(scale=0.05, size=pts.shape).astype(np.float32)
+    fixed = np.zeros(M, bool)
+    fixed[0] = True
+
+    prob = BAProblem(
+        R=jnp.asarray(R0), t=jnp.asarray(t0), points=jnp.asarray(p0),
+        kf_idx=jnp.asarray(kf), lm_idx=jnp.asarray(lm),
+        uv=jnp.asarray(uv, jnp.float32),
+        info=jnp.ones(O_pad, jnp.float32), valid=jnp.asarray(valid),
+        fixed_kf=jnp.asarray(fixed), fixed_lm=jnp.zeros(P_pts, bool),
+    )
+    return prob, cam, (Rs, ts, pts)
+
+
+def test_sharded_matches_single_device():
+    prob, cam, _ = _synthetic_ba()
+    out_ref, costs_ref = bundle_adjust(prob, cam, n_iters=6)
+
+    mesh = make_mesh(n_lm=8)
+    routed = route_observations(prob, 8)
+    run = make_sharded_ba(mesh, cam, n_iters=6)
+    out_sh, costs_sh = run(routed)
+
+    # both should land near the same optimum (different damping schedules,
+    # so compare final costs and reconstructed geometry, not trajectories)
+    assert float(costs_sh[-1]) <= float(costs_ref[0])
+    np.testing.assert_allclose(np.asarray(out_sh.R), np.asarray(out_ref.R),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_sh.t), np.asarray(out_ref.t),
+                               atol=5e-3)
+
+
+def test_sharded_reduces_cost():
+    prob, cam, gt = _synthetic_ba(noise=0.0)
+    mesh = make_mesh(n_lm=8)
+    routed = route_observations(prob, 8)
+    run = make_sharded_ba(mesh, cam, n_iters=8)
+    out, costs = run(routed)
+    # zero-noise: cost collapses to ~0 (the optimum is gauge-shifted from GT
+    # by the free monocular scale, so compare cost, not poses)
+    assert float(costs[-1]) < 1e-4 * float(costs[0])
