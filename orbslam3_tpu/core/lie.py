@@ -324,7 +324,9 @@ def sim3_exp(xi: jax.Array):
     s = jnp.exp(sigma)
     R = so3_exp(phi)
     theta2 = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(theta2)
+    # Clamp before sqrt: d(sqrt)/dx at 0 is inf, and inf*0 = NaN would poison
+    # jacfwd through the (otherwise branch-guarded) Taylor terms in _sim3_W.
+    theta = jnp.sqrt(jnp.maximum(theta2, 1e-24))
     W = _sim3_W(theta, sigma, phi)
     t = jnp.einsum("...ij,...j->...i", W, rho)
     return s, R, t

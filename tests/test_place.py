@@ -1,0 +1,223 @@
+"""Place recognition: vocabulary descent, BoW scoring, keyframe database,
+PnP relocalization, Sim3 loop alignment — against synthetic ground truth."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation
+
+from orbslam3_tpu.core import lie
+from orbslam3_tpu.core.camera import Camera
+from orbslam3_tpu.place.vocab import (
+    Vocabulary, build_vocabulary, bow_vector, descend, l1_score, hamming_np)
+from orbslam3_tpu.place.database import KeyFrameDatabase
+from orbslam3_tpu.vision.pnp import pnp_ransac, relocalize_pose
+from orbslam3_tpu.vision.sim3 import horn_alignment, sim3_ransac, optimize_sim3
+
+RNG = np.random.default_rng(3)
+CAM = Camera.pinhole(458.0, 457.0, 376.0, 240.0)
+
+
+def rand_desc(n, rng=RNG):
+    return rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+
+
+def perturb(desc, n_bits, rng=RNG):
+    """Flip n_bits random bits in each descriptor."""
+    out = desc.copy()
+    for i in range(out.shape[0]):
+        for _ in range(n_bits):
+            w = rng.integers(0, 8)
+            b = rng.integers(0, 32)
+            out[i, w] ^= np.uint32(1 << b)
+    return out
+
+
+class TestVocabulary:
+    def test_descent_matches_host(self):
+        train = rand_desc(600)
+        voc = build_vocabulary(train, k=4, depth=3, seed=0)
+        assert voc.n_words == 64
+        q = rand_desc(50)
+        levels, valids, _ = voc.device_tensors()
+        dev = np.asarray(descend(jnp.asarray(q), levels, valids, voc.k))
+        host = voc.words_np(q)
+        np.testing.assert_array_equal(dev, host)
+
+    def test_descent_finds_near_leaf(self):
+        # a training descriptor must land on a word whose leaf center is
+        # within the tree's quantization of it
+        train = rand_desc(300)
+        voc = build_vocabulary(train, k=4, depth=2, seed=1)
+        w = voc.words_np(train[:20])
+        leaf_desc = voc.levels[-1][w]
+        d_own = np.diag(hamming_np(train[:20], leaf_desc))
+        # own leaf must be markedly closer than the average leaf
+        valid_leaves = voc.levels[-1][voc.valid[-1]]
+        d_all = hamming_np(train[:20], valid_leaves).mean()
+        assert d_own.mean() < d_all - 10
+
+    def test_bow_scoring_self_vs_other(self):
+        train = rand_desc(600)
+        voc = build_vocabulary(train, k=4, depth=3, seed=2)
+        levels, valids, idf = voc.device_tensors()
+        a = train[:80]
+        a_noisy = perturb(a, 4)
+        b = rand_desc(80)
+        valid = jnp.ones(80, bool)
+
+        def bow(d):
+            w = descend(jnp.asarray(d), levels, valids, voc.k)
+            return bow_vector(w, valid, idf)
+
+        va, van, vb = bow(a), bow(a_noisy), bow(b)
+        s_self = float(l1_score(va, van))
+        s_other = float(l1_score(va, vb))
+        assert s_self > s_other
+        assert abs(float(l1_score(va, va)) - 1.0) < 1e-5
+
+    def test_save_load_roundtrip(self, tmp_path):
+        voc = build_vocabulary(rand_desc(200), k=3, depth=2, seed=3)
+        p = str(tmp_path / "voc.npz")
+        voc.save(p)
+        voc2 = Vocabulary.load(p)
+        q = rand_desc(10)
+        np.testing.assert_array_equal(voc.words_np(q), voc2.words_np(q))
+
+
+class TestKeyFrameDatabase:
+    def test_retrieves_matching_keyframe(self):
+        train = rand_desc(800)
+        voc = build_vocabulary(train, k=4, depth=3, seed=4)
+        db = KeyFrameDatabase(voc, max_keyframes=16)
+        descs = [rand_desc(100) for _ in range(6)]
+        for k, d in enumerate(descs):
+            _, v = db.compute_bow(d, np.ones(100, bool))
+            db.add(k, v, map_id=0)
+        # query = noisy copy of KF 3
+        _, qv = db.compute_bow(perturb(descs[3], 3), np.ones(100, bool))
+        covis = lambda k: []  # no covisibility
+        cands = db.detect_relocalization_candidates(qv, covis)
+        assert 3 in cands.tolist()
+        assert cands[0] == 3
+
+    def test_nbest_excludes_covisible(self):
+        train = rand_desc(800)
+        voc = build_vocabulary(train, k=4, depth=3, seed=5)
+        db = KeyFrameDatabase(voc, max_keyframes=16)
+        base = rand_desc(100)
+        for k in range(5):
+            _, v = db.compute_bow(perturb(base, 2), np.ones(100, bool))
+            db.add(k, v)
+        _, qv = db.compute_bow(perturb(base, 2), np.ones(100, bool))
+        cands = db.detect_n_best_candidates(qv, exclude={0, 1}, covis_fn=lambda k: [],
+                                            n_best=3)
+        assert 0 not in cands.tolist() and 1 not in cands.tolist()
+        assert len(cands) >= 1
+
+    def test_clear_map(self):
+        voc = build_vocabulary(rand_desc(400), k=4, depth=2, seed=6)
+        db = KeyFrameDatabase(voc, max_keyframes=8)
+        d = rand_desc(50)
+        _, v = db.compute_bow(d, np.ones(50, bool))
+        db.add(0, v, map_id=7)
+        db.clear_map(7)
+        cands = db.detect_relocalization_candidates(v, lambda k: [])
+        assert len(cands) == 0
+
+
+def make_scene(n=200):
+    pts = np.stack([
+        RNG.uniform(-4, 4, n), RNG.uniform(-2.5, 2.5, n),
+        RNG.uniform(4, 10, n)], -1).astype(np.float32)
+    return pts
+
+
+class TestPnP:
+    def test_recovers_pose_with_outliers(self):
+        pts = make_scene(150)
+        Rgt = Rotation.from_rotvec([0.1, -0.25, 0.05]).as_matrix().astype(np.float32)
+        tgt = np.array([0.4, -0.1, 0.3], np.float32)
+        xc = pts @ Rgt.T + tgt
+        uv = np.array(CAM.project(jnp.asarray(xc)))
+        uv += RNG.normal(0, 0.5, uv.shape)
+        # 30% outliers
+        out = RNG.random(150) < 0.3
+        uv[out] += RNG.uniform(30, 120, (out.sum(), 2))
+        R, t, ok, n = relocalize_pose(
+            jnp.asarray(pts), jnp.asarray(uv.astype(np.float32)),
+            jnp.ones(150), jnp.ones(150, bool), CAM, jax.random.PRNGKey(0))
+        assert bool(ok)
+        assert int(n) > 80
+        rot_err = np.degrees(np.linalg.norm(np.asarray(
+            lie.so3_log(jnp.asarray(Rgt.T) @ R))))
+        assert rot_err < 1.0
+        assert np.linalg.norm(np.asarray(t) - tgt) < 0.05
+
+    def test_ransac_inlier_set(self):
+        pts = make_scene(100)
+        Rgt = np.eye(3, dtype=np.float32)
+        tgt = np.zeros(3, np.float32)
+        uv = np.array(CAM.project(jnp.asarray(pts)))
+        out = np.zeros(100, bool)
+        out[:20] = True
+        uv[out] += 200.0
+        R, t, inl, n = pnp_ransac(
+            jnp.asarray(pts), jnp.asarray(uv.astype(np.float32)),
+            jnp.ones(100, bool), CAM, jax.random.PRNGKey(1))
+        inl = np.asarray(inl)
+        assert int(n) >= 70
+        assert inl[out].sum() == 0  # no outlier marked inlier
+
+
+class TestSim3:
+    def test_horn_exact(self):
+        pts = make_scene(30)
+        Rgt = Rotation.from_rotvec([0.3, 0.2, -0.4]).as_matrix().astype(np.float32)
+        sgt, tgt = 1.7, np.array([0.5, -1.0, 2.0], np.float32)
+        p2 = sgt * pts @ Rgt.T + tgt
+        s, R, t = horn_alignment(jnp.asarray(pts), jnp.asarray(p2),
+                                 fix_scale=False)
+        assert abs(float(s) - sgt) < 1e-3
+        np.testing.assert_allclose(np.asarray(R), Rgt, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t), tgt, atol=1e-3)
+
+    def test_ransac_and_refine(self):
+        n = 120
+        pts = make_scene(n)  # frame-1 camera coords (z>0)
+        Rgt = Rotation.from_rotvec([0.05, 0.3, -0.1]).as_matrix().astype(np.float32)
+        sgt = 1.4
+        tgt = np.array([0.3, -0.2, 1.0], np.float32)
+        p2 = sgt * pts @ Rgt.T + tgt
+        uv1 = np.asarray(CAM.project(jnp.asarray(pts)))
+        uv2 = np.asarray(CAM.project(jnp.asarray(p2)))
+        # corrupt 25% of the frame-2 points (bad matches)
+        p2n = p2 + RNG.normal(0, 0.005, p2.shape).astype(np.float32)
+        bad = RNG.random(n) < 0.25
+        p2n[bad] += RNG.uniform(1, 3, (bad.sum(), 3))
+        res = sim3_ransac(
+            jnp.asarray(pts), jnp.asarray(p2n.astype(np.float32)),
+            jnp.asarray(uv1.astype(np.float32)),
+            jnp.asarray(uv2.astype(np.float32)),
+            jnp.ones(n, bool), CAM, CAM, jax.random.PRNGKey(2))
+        assert int(res.n_inliers) > 0.6 * n
+        s, R, t, inl, ninl = optimize_sim3(
+            res.s, res.R, res.t,
+            jnp.asarray(pts), jnp.asarray(p2n.astype(np.float32)),
+            jnp.asarray(uv1.astype(np.float32)),
+            jnp.asarray(uv2.astype(np.float32)),
+            jnp.ones(n), res.inliers, CAM, CAM)
+        assert abs(float(s) - sgt) < 0.02
+        rot_err = np.degrees(np.linalg.norm(np.asarray(
+            lie.so3_log(jnp.asarray(Rgt.T) @ R))))
+        assert rot_err < 1.0
+
+    def test_fix_scale(self):
+        pts = make_scene(40)
+        Rgt = Rotation.from_rotvec([0.1, 0.0, 0.2]).as_matrix().astype(np.float32)
+        tgt = np.array([0.2, 0.1, -0.3], np.float32)
+        p2 = pts @ Rgt.T + tgt
+        s, R, t = horn_alignment(jnp.asarray(pts), jnp.asarray(p2),
+                                 fix_scale=True)
+        assert float(s) == 1.0
+        np.testing.assert_allclose(np.asarray(R), Rgt, atol=1e-4)
