@@ -80,19 +80,23 @@ def so3_log(R: jax.Array) -> jax.Array:
     whole group — needed by essential-graph/Sim3 optimization where relative
     rotations near pi occur (reference: `src/Optimizer.cc` essential graph).
     """
-    trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_theta = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_theta)
-    # Generic branch: w = theta/(2 sin theta) * vee(R - R^T)
-    sin_theta = jnp.sin(theta)
+    # atan2 formulation (NOT arccos: d/dx arccos at 1 is -inf, and jacfwd
+    # through a log at the identity — every converged pose-graph edge — would
+    # produce inf*0 = NaN tangents).
+    v = 0.5 * vee(R - jnp.swapaxes(R, -1, -2))  # = sin(theta) * axis
+    s2 = jnp.sum(v * v, axis=-1)                # sin^2(theta)
+    cos_theta = jnp.clip(
+        (R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) * 0.5, -1.0, 1.0)
+    s_safe = jnp.sqrt(jnp.maximum(s2, 1e-24))   # clamp: finite tangent at 0
+    theta = jnp.arctan2(s_safe, cos_theta)
     small = theta < _SMALL
     near_pi = theta > jnp.pi - 1e-3
-    safe_sin = jnp.where(small | near_pi, jnp.ones_like(sin_theta), sin_theta)
-    w_generic = (theta / (2.0 * safe_sin))[..., None] * vee(R - jnp.swapaxes(R, -1, -2))
-    # Small branch: w ~= 0.5 * (1 + theta^2/6) * vee(R - R^T)
-    w_small = 0.5 * (1.0 + theta[..., None] ** 2 / 6.0) * vee(
-        R - jnp.swapaxes(R, -1, -2)
-    )
+    # Generic: w = theta/sin(theta) * v ; Small: Taylor of theta/sin(theta)
+    # in s2 (theta^2 ~= s2) — polynomial, clean derivatives at the identity.
+    f_generic = theta / jnp.where(small | near_pi, jnp.ones_like(s_safe), s_safe)
+    f_small = 1.0 + s2 / 6.0 + 7.0 * s2 * s2 / 360.0
+    w_generic = f_generic[..., None] * v
+    w_small = f_small[..., None] * v
     # Near-pi branch: |w_i| from diagonal, signs from the largest column of
     # S = R + I (S columns are parallel to the axis).
     S = R + jnp.broadcast_to(jnp.eye(3, dtype=R.dtype), R.shape)
@@ -336,7 +340,8 @@ def sim3_log(s, R, t):
     """Logarithm map Sim(3) -> sim(3), returns (...,7) = (rho, phi, sigma)."""
     sigma = jnp.log(s)
     phi = so3_log(R)
-    theta = jnp.sqrt(jnp.sum(phi * phi, axis=-1))
+    # clamped sqrt: keeps jacfwd finite at phi = 0 (see sim3_exp)
+    theta = jnp.sqrt(jnp.maximum(jnp.sum(phi * phi, axis=-1), 1e-24))
     W = _sim3_W(theta, sigma, phi)
     rho = jnp.linalg.solve(W, t[..., None])[..., 0]
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)

@@ -1,0 +1,456 @@
+"""Loop closing and map merging: place recognition -> Sim3 -> correction.
+
+TPU-native replacement for the reference's `LoopClosing` thread
+(`/root/reference/src/LoopClosing.cc`): `NewDetectCommonRegions` (328) with
+the temporal-consistency window (`mnLoopNumCoincidences >= 3`, 380-401),
+`DetectCommonRegionsFromBoW` (582 — BoW candidates + Sim3Solver RANSAC +
+projection verification), `CorrectLoop` (973 — Sim3 propagation through the
+covisible window, point correction, SearchAndFuse, essential-graph
+optimization, global BA), and the cross-map branch `MergeLocal` (1219 — weld
+two Atlas maps).
+
+Numeric stages (descriptor matching, Sim3 RANSAC+refine, pose-graph GN,
+global BA) are jitted device programs; this module is the host-side actor
+gluing them to the map state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from orbslam3_tpu.core import lie
+from orbslam3_tpu.kernels import hamming as ham
+from orbslam3_tpu.kernels import orb_descriptor as desc_k
+from orbslam3_tpu.opt.ba import BAProblem, bundle_adjust
+from orbslam3_tpu.opt.pose_graph import (
+    DOF_4DOF, DOF_SE3, DOF_SIM3, PoseGraph, correct_points,
+    optimize_pose_graph)
+from orbslam3_tpu.place.database import KeyFrameDatabase
+from orbslam3_tpu.slam_map.atlas import Atlas
+from orbslam3_tpu.slam_map.map_state import MapState
+from orbslam3_tpu.vision import matcher
+from orbslam3_tpu.vision.sim3 import optimize_sim3, sim3_ransac
+
+
+@dataclasses.dataclass
+class LoopCloserConfig:
+    min_kfs_in_map: int = 12        # LoopClosing.cc:345-366 guard
+    min_bow_matches: int = 20       # SearchByBoW match gate
+    min_sim3_inliers: int = 20      # Sim3Solver success gate
+    consistency_threshold: int = 3  # mnLoopNumCoincidences
+    covis_weight_essential: int = 30  # reference uses 100 on big maps
+    fix_scale: bool = False         # stereo/RGBD/inertial: True
+    run_global_ba: bool = True
+    gba_iters: int = 10
+    n_best_candidates: int = 3
+
+
+@dataclasses.dataclass
+class LoopEvent:
+    kind: str            # "loop" | "merge"
+    kf: int
+    matched_kf: int
+    scale: float
+    n_inliers: int
+
+
+class LoopCloser:
+    """Host actor: consumes keyframes, detects/corrects loops and merges."""
+
+    def __init__(self, camera, atlas: Atlas, db: KeyFrameDatabase,
+                 cfg: LoopCloserConfig | None = None):
+        self.camera = camera
+        self.atlas = atlas
+        self.db = db
+        self.cfg = cfg or LoopCloserConfig()
+        self._consistent_count = 0
+        self._last_cand_uid = -1
+        self._key = jax.random.PRNGKey(1234)
+        self.events: list[LoopEvent] = []
+
+    # ------------------------------------------------------------------ api
+    def process_keyframe(self, k: int) -> LoopEvent | None:
+        """InsertKeyFrame + one Run-loop pass for keyframe slot `k` of the
+        active map. Returns the loop/merge event if one was closed."""
+        m = self.atlas.active
+        words, bow = self.db.compute_bow(m.kf_desc[k], m.kf_feat_valid[k])
+        event = None
+        if m.n_keyframes >= self.cfg.min_kfs_in_map:
+            event = self._detect_and_correct(m, k, bow)
+        self.db.add(k, bow, map_id=m.map_id)
+        return event
+
+    # ------------------------------------------------------------ detection
+    def _covis_fn(self, m: MapState):
+        return lambda kf: [int(x) for x in m.covisibility(kf, min_shared=10)]
+
+    def _detect_and_correct(self, m: MapState, k: int, bow) -> LoopEvent | None:
+        cfg = self.cfg
+        exclude = {int(k)} | set(
+            int(x) for x in m.covisibility(k, min_shared=5))
+        cands = self.db.detect_n_best_candidates(
+            bow, exclude, self._covis_fn(m), n_best=cfg.n_best_candidates)
+        for cand in cands:
+            cand = int(cand)
+            cand_map_id = int(self.db.map_of[cand])
+            if cand_map_id == m.map_id:
+                res = self._verify_sim3(m, k, m, cand)
+                if res is None:
+                    continue
+                s, R, t, n_inl = res
+                # temporal consistency (LoopClosing.cc:380-401): require
+                # `consistency_threshold` consecutive KFs hitting candidates
+                # covisible with the previous hit
+                consistent = (
+                    self._last_cand_uid >= 0
+                    and (m.slot_of_uid(self._last_cand_uid) in
+                         ([cand] + self._covis_fn(m)(cand))))
+                self._consistent_count = (
+                    self._consistent_count + 1 if consistent else 1)
+                self._last_cand_uid = int(m.kf_uid[cand])
+                if self._consistent_count >= cfg.consistency_threshold:
+                    self._consistent_count = 0
+                    self._last_cand_uid = -1
+                    self._correct_loop(m, k, cand, s, R, t)
+                    ev = LoopEvent("loop", k, cand, float(s), int(n_inl))
+                    self.events.append(ev)
+                    return ev
+            else:
+                # candidate lives in a stored map -> merge (MergeLocal)
+                other = self.atlas.maps[cand_map_id]
+                res = self._verify_sim3(other, cand, m, k)
+                if res is None:
+                    continue
+                s, R, t, n_inl = res
+                ev = self._merge_maps(m, k, other, cand, s, R, t, int(n_inl))
+                self.events.append(ev)
+                return ev
+        if len(cands) == 0:
+            self._consistent_count = 0
+        return None
+
+    def _matched_mp_pairs(self, m1: MapState, k1: int, m2: MapState, k2: int):
+        """SearchByBoW-equivalent: match features of KF k1 against KF k2 by
+        descriptor (ratio + mutual check), keep pairs where both features
+        carry a landmark. Returns (mp1_ids, mp2_ids, uv1, uv2)."""
+        p1 = desc_k.descriptor_planes(jnp.asarray(m1.kf_desc[k1]))
+        p2 = desc_k.descriptor_planes(jnp.asarray(m2.kf_desc[k2]))
+        has1 = jnp.asarray(m1.kf_feat_valid[k1] & (m1.kf_obs_mp[k1] >= 0))
+        has2 = jnp.asarray(m2.kf_feat_valid[k2] & (m2.kf_obs_mp[k2] >= 0))
+        dist = ham.distance_matrix(p1, p2)
+        dist = jnp.where(has1[:, None] & has2[None, :], dist, 1 << 20)
+        idx, best, ok = ham.match_ratio(dist, max_dist=ham.TH_LOW, ratio=0.75)
+        idx_ba, _, _ = ham.match_ratio(dist.T, max_dist=ham.TH_LOW, ratio=0.75)
+        ok = np.asarray(ham.mutual_filter(idx, ok, idx_ba))
+        idx = np.asarray(idx)
+        f1 = np.nonzero(ok)[0]
+        f2 = idx[f1]
+        mp1 = m1.kf_obs_mp[k1][f1]
+        mp2 = m2.kf_obs_mp[k2][f2]
+        good = (mp1 >= 0) & (mp2 >= 0) & m1.mp_valid[np.maximum(mp1, 0)] \
+            & m2.mp_valid[np.maximum(mp2, 0)]
+        return (mp1[good], mp2[good],
+                m1.kf_uv[k1][f1[good]], m2.kf_uv[k2][f2[good]])
+
+    def _verify_sim3(self, m_cand: MapState, cand: int,
+                     m_cur: MapState, cur: int):
+        """Sim3 RANSAC + refine between candidate and current keyframes.
+        Returns S_cur<-cand = (s, R, t) mapping candidate-camera coords to
+        current-camera coords, or None."""
+        cfg = self.cfg
+        mp_cand, mp_cur, uv_cand, uv_cur = self._matched_mp_pairs(
+            m_cand, cand, m_cur, cur)
+        n = len(mp_cand)
+        if n < cfg.min_bow_matches:
+            return None
+        # landmark positions in each keyframe's camera frame
+        p_cand = (m_cand.mp_pos[mp_cand] @ m_cand.kf_R[cand].T
+                  + m_cand.kf_t[cand])
+        p_cur = (m_cur.mp_pos[mp_cur] @ m_cur.kf_R[cur].T
+                 + m_cur.kf_t[cur])
+        self._key, sub = jax.random.split(self._key)
+        res = sim3_ransac(
+            jnp.asarray(p_cand, jnp.float32), jnp.asarray(p_cur, jnp.float32),
+            jnp.asarray(uv_cand, jnp.float32), jnp.asarray(uv_cur, jnp.float32),
+            jnp.ones(n, bool), self.camera, self.camera, sub,
+            fix_scale=cfg.fix_scale)
+        if int(res.n_inliers) < cfg.min_sim3_inliers:
+            return None
+        s, R, t, inl, n_inl = optimize_sim3(
+            res.s, res.R, res.t,
+            jnp.asarray(p_cand, jnp.float32), jnp.asarray(p_cur, jnp.float32),
+            jnp.asarray(uv_cand, jnp.float32), jnp.asarray(uv_cur, jnp.float32),
+            jnp.ones(n), res.inliers, self.camera, self.camera,
+            fix_scale=cfg.fix_scale)
+        if int(n_inl) < cfg.min_sim3_inliers:
+            return None
+        return float(s), np.asarray(R), np.asarray(t), int(n_inl)
+
+    # ----------------------------------------------------------- correction
+    def _correct_loop(self, m: MapState, cur: int, cand: int,
+                      s: float, R: np.ndarray, t: np.ndarray):
+        """CorrectLoop (LoopClosing.cc:973): propagate the corrected Sim3
+        through the current KF's covisible window, re-express their points,
+        fuse duplicates, optimize the essential graph, then global BA."""
+        cfg = self.cfg
+        # corrected S_cw(cur) = S_cur<-cand o T_cand_w
+        s_corr, R_corr, t_corr = lie.sim3_compose(
+            jnp.asarray(s, jnp.float32), jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(1.0, jnp.float32), jnp.asarray(m.kf_R[cand]),
+            jnp.asarray(m.kf_t[cand]))
+        s_corr = float(s_corr)
+        R_corr, t_corr = np.asarray(R_corr), np.asarray(t_corr)
+
+        window = [cur] + [int(x) for x in m.covisibility(cur, min_shared=10)]
+        old_R = {i: m.kf_R[i].copy() for i in m.keyframe_ids()}
+        old_t = {i: m.kf_t[i].copy() for i in m.keyframe_ids()}
+
+        corrected: dict[int, tuple[float, np.ndarray, np.ndarray]] = {}
+        Rc, tc = old_R[cur], old_t[cur]
+        for i in window:
+            # T_ic = T_iw o T_wc (uncorrected, SE3)
+            R_ic = old_R[i] @ Rc.T
+            t_ic = old_t[i] - R_ic @ tc
+            si, Ri, ti = lie.sim3_compose(
+                jnp.asarray(1.0, jnp.float32), jnp.asarray(R_ic),
+                jnp.asarray(t_ic), jnp.asarray(s_corr, jnp.float32),
+                jnp.asarray(R_corr), jnp.asarray(t_corr))
+            corrected[i] = (float(si), np.asarray(Ri), np.asarray(ti))
+
+        # correct window landmarks once each, via their first correcting KF
+        done = set()
+        for i in window:
+            mp_ids = m.kf_obs_mp[i]
+            mp_ids = np.unique(mp_ids[mp_ids >= 0])
+            mp_ids = np.asarray([p for p in mp_ids
+                                 if p not in done and m.mp_valid[p]])
+            done.update(int(p) for p in mp_ids)
+            if len(mp_ids) == 0:
+                continue
+            si, Ri, ti = corrected[i]
+            newp = correct_points(
+                jnp.asarray(m.mp_pos[mp_ids]),
+                jnp.asarray(1.0, jnp.float32), jnp.asarray(old_R[i]),
+                jnp.asarray(old_t[i]),
+                jnp.asarray(si, jnp.float32), jnp.asarray(Ri),
+                jnp.asarray(ti))
+            m.mp_pos[mp_ids] = np.asarray(newp, np.float32)
+        # write corrected SE3 poses (t /= s, LoopClosing.cc:1050-1056)
+        for i, (si, Ri, ti) in corrected.items():
+            m.kf_R[i] = Ri.astype(np.float32)
+            m.kf_t[i] = (ti / si).astype(np.float32)
+
+        # fuse: project the loop-side points into the corrected window KFs
+        self._search_and_fuse(m, window, cand)
+
+        # essential-graph optimization, then point re-correction
+        self._optimize_essential_graph(m, cur, cand, s, R, t,
+                                       corrected, old_R, old_t)
+        if cfg.run_global_ba:
+            self.run_global_ba(m, fixed_kf=cand, n_iters=cfg.gba_iters)
+        m.change_index += 1
+
+    def _search_and_fuse(self, m: MapState, window: list[int], cand: int):
+        """SearchAndFuse (LoopClosing.cc:2119): project landmarks seen around
+        the loop keyframe into each corrected window KF; merge duplicates."""
+        loop_side = [cand] + [int(x) for x in m.covisibility(cand, 10)[:10]]
+        obs = m.kf_obs_mp[loop_side]
+        loop_mps = np.unique(obs[obs >= 0])
+        loop_mps = loop_mps[m.mp_valid[loop_mps]]
+        if len(loop_mps) == 0:
+            return
+        mp_pos = jnp.asarray(m.mp_pos[loop_mps])
+        mp_planes = desc_k.descriptor_planes(jnp.asarray(m.mp_desc[loop_mps]))
+        valid = jnp.ones(len(loop_mps), bool)
+        for i in window:
+            f_planes = desc_k.descriptor_planes(jnp.asarray(m.kf_desc[i]))
+            idx, keep = matcher.fuse_by_projection(
+                mp_pos, mp_planes, valid,
+                jnp.asarray(m.kf_R[i]), jnp.asarray(m.kf_t[i]), self.camera,
+                jnp.asarray(m.kf_uv[i]), f_planes,
+                jnp.asarray(m.kf_octave[i]),
+                jnp.asarray(m.kf_feat_valid[i]), radius=4.0)
+            idx, keep = np.asarray(idx), np.asarray(keep)
+            for j in np.nonzero(keep)[0]:
+                feat = int(idx[j])
+                keep_id = int(loop_mps[j])
+                existing = int(m.kf_obs_mp[i, feat])
+                if existing == keep_id:
+                    continue
+                if existing >= 0 and m.mp_valid[existing]:
+                    m.merge_points(keep_id, existing)
+                elif m.kf_obs_mp[i][m.kf_obs_mp[i] == keep_id].size == 0:
+                    m.kf_obs_mp[i, feat] = keep_id
+
+    def _optimize_essential_graph(self, m: MapState, cur: int, cand: int,
+                                  s_loop, R_loop, t_loop,
+                                  corrected, old_R, old_t):
+        """OptimizeEssentialGraph (Optimizer.cc:1501): spanning tree +
+        covisibility + loop edges over all keyframes of the map."""
+        cfg = self.cfg
+        kfs = m.keyframe_ids()
+        slot = {int(k): i for i, k in enumerate(kfs)}
+        M = len(kfs)
+
+        s0 = np.ones(M, np.float32)
+        R0 = m.kf_R[kfs].copy()
+        t0 = m.kf_t[kfs].copy()
+        for k, (si, Ri, ti) in corrected.items():
+            i = slot[int(k)]
+            s0[i], R0[i], t0[i] = si, Ri, ti
+
+        # measurements from pre-correction poses (NonCorrectedSim3)
+        def meas(i_kf, j_kf):
+            Rj = old_R[j_kf] @ old_R[i_kf].T
+            tj = old_t[j_kf] - Rj @ old_t[i_kf]
+            return 1.0, Rj, tj
+
+        e_i, e_j, m_s, m_R, m_t, w = [], [], [], [], [], []
+        seen = set()
+
+        def add_edge(a, b, sm, Rm, tm, weight):
+            key = (min(a, b), max(a, b))
+            if key in seen:
+                return
+            seen.add(key)
+            e_i.append(slot[a]); e_j.append(slot[b])
+            m_s.append(sm); m_R.append(Rm); m_t.append(tm); w.append(weight)
+
+        inc = m.incidence()
+        covis_w = (inc @ inc.T).astype(np.int64)
+        for k in kfs:
+            k = int(k)
+            p = int(m.kf_prev[k])
+            if p >= 0 and m.kf_valid[p]:
+                sm, Rm, tm = meas(k, p)
+                add_edge(k, p, sm, Rm, tm, 1.0)  # spanning tree
+            for j in np.nonzero(covis_w[k] >= cfg.covis_weight_essential)[0]:
+                if int(j) != k and m.kf_valid[j]:
+                    sm, Rm, tm = meas(k, int(j))
+                    add_edge(k, int(j), sm, Rm, tm, 1.0)
+        # the loop edge, measured by the Sim3 solve: S_cur<-cand means
+        # S_cur_w = S_loop o S_cand_w  =>  S_ji (j=cur, i=cand) = S_loop
+        add_edge(cand, cur, float(s_loop), np.asarray(R_loop),
+                 np.asarray(t_loop), 1.0)
+
+        dof = np.tile(np.asarray(DOF_SE3 if cfg.fix_scale else DOF_SIM3),
+                      (M, 1)).astype(np.float32)
+        dof[slot[cand]] = 0.0  # fix the loop keyframe
+
+        g = PoseGraph(
+            s=jnp.asarray(s0), R=jnp.asarray(R0), t=jnp.asarray(t0),
+            e_i=jnp.asarray(e_i, jnp.int32), e_j=jnp.asarray(e_j, jnp.int32),
+            m_s=jnp.asarray(m_s, jnp.float32),
+            m_R=jnp.asarray(np.asarray(m_R), jnp.float32),
+            m_t=jnp.asarray(np.asarray(m_t), jnp.float32),
+            w=jnp.asarray(w, jnp.float32), dof=jnp.asarray(dof))
+        s_new, R_new, t_new = optimize_pose_graph(g)
+        s_new = np.asarray(s_new)
+        R_new = np.asarray(R_new)
+        t_new = np.asarray(t_new)
+
+        # correct landmarks via their reference keyframe's old/new transforms
+        # (Optimizer.cc:1715-1760), then write back SE3 poses (t /= s)
+        mp_ids = np.nonzero(m.mp_valid)[0]
+        ref = m.mp_ref_kf[mp_ids]
+        for k in kfs:
+            k = int(k)
+            sel = mp_ids[(ref == k)]
+            if len(sel) == 0:
+                continue
+            i = slot[k]
+            # old transform: the pose used to build the graph estimate
+            so, Ro, to = (corrected[k] if k in corrected
+                          else (1.0, old_R[k], old_t[k]))
+            newp = correct_points(
+                jnp.asarray(m.mp_pos[sel]),
+                jnp.asarray(so, jnp.float32), jnp.asarray(Ro),
+                jnp.asarray(to),
+                jnp.asarray(s_new[i], jnp.float32), jnp.asarray(R_new[i]),
+                jnp.asarray(t_new[i]))
+            m.mp_pos[sel] = np.asarray(newp, np.float32)
+        for k in kfs:
+            i = slot[int(k)]
+            m.kf_R[k] = R_new[i].astype(np.float32)
+            m.kf_t[k] = (t_new[i] / s_new[i]).astype(np.float32)
+
+    # ------------------------------------------------------------- global BA
+    def run_global_ba(self, m: MapState, fixed_kf: int, n_iters: int = 10):
+        """RunGlobalBundleAdjustment (LoopClosing.cc:2272): full-map BA."""
+        kfs = m.keyframe_ids()
+        slot = {int(k): i for i, k in enumerate(kfs)}
+        mp_ids = np.nonzero(m.mp_valid)[0]
+        if len(mp_ids) == 0 or len(kfs) < 2:
+            return
+        pslot = {int(p): i for i, p in enumerate(mp_ids)}
+        kk, slots, mps = m.observations_of(mp_ids)
+        n_obs = len(kk)
+        if n_obs == 0:
+            return
+        kf_idx = np.asarray([slot[int(x)] for x in kk], np.int32)
+        lm_idx = np.asarray([pslot[int(x)] for x in mps], np.int32)
+        uv = m.kf_uv[kk, slots]
+        octv = m.kf_octave[kk, slots]
+        info = (1.0 / 1.2 ** (2 * octv)).astype(np.float32)
+        fixed = np.zeros(len(kfs), bool)
+        if int(fixed_kf) in slot:
+            fixed[slot[int(fixed_kf)]] = True
+        else:
+            fixed[0] = True
+        prob = BAProblem(
+            R=jnp.asarray(m.kf_R[kfs]), t=jnp.asarray(m.kf_t[kfs]),
+            points=jnp.asarray(m.mp_pos[mp_ids]),
+            kf_idx=jnp.asarray(kf_idx), lm_idx=jnp.asarray(lm_idx),
+            uv=jnp.asarray(uv, jnp.float32), info=jnp.asarray(info),
+            valid=jnp.ones(n_obs, bool),
+            fixed_kf=jnp.asarray(fixed),
+            fixed_lm=jnp.zeros(len(mp_ids), bool))
+        out, _ = bundle_adjust(prob, self.camera, n_iters=n_iters)
+        m.kf_R[kfs] = np.asarray(out.R, np.float32)
+        m.kf_t[kfs] = np.asarray(out.t, np.float32)
+        m.mp_pos[mp_ids] = np.asarray(out.points, np.float32)
+        m.change_index += 1
+
+    # ---------------------------------------------------------------- merges
+    def _merge_maps(self, m_cur: MapState, cur: int, m_old: MapState,
+                    cand: int, s: float, R: np.ndarray, t: np.ndarray,
+                    n_inl: int) -> LoopEvent:
+        """MergeLocal (LoopClosing.cc:1219): weld the active map into the
+        stored map through S_cur<-cand, fuse the seam, optimize the welding
+        window. The stored (older, typically gravity-aligned) map wins the
+        gauge, matching the reference."""
+        # S maps cand-cam -> cur-cam. World-to-world (old -> cur):
+        # S_wcur_wold = T_cur_w^-1 o S o T_cand_w
+        Rc, tc = m_cur.kf_R[cur], m_cur.kf_t[cur]
+        s1, R1, t1 = lie.sim3_compose(
+            jnp.asarray(s, jnp.float32), jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(1.0, jnp.float32), jnp.asarray(m_old.kf_R[cand]),
+            jnp.asarray(m_old.kf_t[cand]))
+        sw, Rw, tw = lie.sim3_compose(
+            *lie.sim3_inverse(jnp.asarray(1.0, jnp.float32),
+                              jnp.asarray(Rc), jnp.asarray(tc)),
+            s1, R1, t1)
+        # weld cur-map INTO old-map: need old->... we have S(wold->wcur);
+        # invert to map cur-world coords into old-world
+        si, Ri, ti = lie.sim3_inverse(sw, Rw, tw)
+        kf_map = self.atlas.weld(m_old.map_id, m_cur.map_id,
+                                 float(si), np.asarray(Ri), np.asarray(ti))
+        self.db.clear_map(m_cur.map_id)
+        merged = self.atlas.maps[m_old.map_id]
+        # re-register welded keyframes in the database under the merged map
+        for old_slot, new_slot in kf_map.items():
+            _, bow = self.db.compute_bow(merged.kf_desc[new_slot],
+                                         merged.kf_feat_valid[new_slot])
+            self.db.add(new_slot, bow, map_id=merged.map_id)
+        new_cur = kf_map[int(cur)]
+        # seam fuse + welding-window BA around the seam
+        window = [new_cur, cand]
+        self._search_and_fuse(merged, window, cand)
+        self.run_global_ba(merged, fixed_kf=cand, n_iters=self.cfg.gba_iters)
+        ev = LoopEvent("merge", new_cur, cand, float(s), n_inl)
+        ev.kf_map = kf_map  # type: ignore[attr-defined]
+        return ev
