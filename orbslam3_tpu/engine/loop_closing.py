@@ -98,7 +98,8 @@ class LoopCloser:
             cand = int(cand)
             cand_map_id = int(self.db.map_of[cand])
             if cand_map_id == m.map_id:
-                res = self._verify_sim3(m, k, m, cand)
+                # S_cur<-cand (the reference's Scm: matched-cam -> current-cam)
+                res = self._verify_sim3(m, cand, m, k)
                 if res is None:
                     continue
                 s, R, t, n_inl = res

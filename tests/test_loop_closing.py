@@ -224,8 +224,10 @@ class TestLoopCloser:
                 event = ev
         assert event is not None, "loop not detected"
         assert event.kind == "loop"
-        # drift scale was 1.1 -> loop Sim3 scale must be ~1/1.1
-        assert abs(event.scale - 1 / 1.1) < 0.02
+        # drift scale was 1.1; the loop Sim3 (S_cur<-cand, the reference's
+        # Scm) maps trusted-scale candidate coords into the drifted current
+        # frame -> scale ~1.1
+        assert abs(event.scale - 1.1) < 0.02
         # The invariant of a closed loop: the RELATIVE pose between the loop
         # keyframe and the matched keyframe matches truth (the step-drift
         # misfit is legitimately distributed over the rest of the graph —
