@@ -1,0 +1,358 @@
+"""System facade — the engine orchestrator.
+
+TPU-native equivalent of the reference `System` class
+(`/root/reference/src/System.cc:39-246`): owns the Atlas, the place-recognition
+database, one tracking lane per client (the fork's multi-client design,
+`System.cc:248-266`), local mapping and loop closing, and the public
+`track_*` entry points, trajectory savers (`System.cc:666-874`) and Atlas
+checkpointing (`System.cc:1529-1673`).
+
+Architecture: functional core / actor shell. Numerics run in jitted device
+programs inside Tracker/LocalMapper/LoopCloser; this class is the host shell
+that routes frames, spawns maps on tracking loss (Atlas recovery ladder,
+`Tracking.cc:2147-2152,2806-2844`) and exports results.
+"""
+
+from __future__ import annotations
+
+import enum
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..engine.local_mapping import LocalMapper, LocalMapperConfig
+from ..engine.loop_closing import LoopCloser, LoopCloserConfig
+from ..engine.tracking import Tracker, TrackerConfig, TrackingState
+from ..slam_map import serialize
+from ..slam_map.atlas import Atlas
+from ..slam_map.map_state import MapConfig
+
+
+class Sensor(enum.Enum):
+    """Reference `System::eSensor` (`include/System.h:80-88`)."""
+    MONOCULAR = 0
+    STEREO = 1
+    RGBD = 2
+    IMU_MONOCULAR = 3
+    IMU_STEREO = 4
+    IMU_RGBD = 5
+
+
+@dataclass
+class SystemConfig:
+    sensor: Sensor = Sensor.MONOCULAR
+    map: MapConfig = field(default_factory=MapConfig)
+    tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    use_loop_closing: bool = True
+    # LOST with a map this mature stores it and spawns a fresh one
+    # (Tracking.cc:2147-2152: >10 KFs); smaller maps are reset instead.
+    min_kfs_to_store_map: int = 10
+
+
+def rotation_to_quat(R: np.ndarray) -> np.ndarray:
+    """R (3,3) -> quaternion (qx, qy, qz, qw), Hamilton, unit."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        w = 0.25 * s
+        x = (R[2, 1] - R[1, 2]) / s
+        y = (R[0, 2] - R[2, 0]) / s
+        z = (R[1, 0] - R[0, 1]) / s
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(R[i, i] - R[j, j] - R[k, k] + 1.0) * 2
+        q = np.zeros(3)
+        q[i] = 0.25 * s
+        q[j] = (R[j, i] + R[i, j]) / s
+        q[k] = (R[k, i] + R[i, k]) / s
+        w = (R[k, j] - R[j, k]) / s
+        x, y, z = q
+    q = np.array([x, y, z, w])
+    return q / np.linalg.norm(q)
+
+
+class Slam:
+    """Session object (reference `System`)."""
+
+    def __init__(self, camera, cfg: SystemConfig = None, vocab=None,
+                 load_atlas_from: str = None):
+        self.camera = camera
+        self.cfg = cfg or SystemConfig()
+        self.vocab = vocab
+        if load_atlas_from:
+            self.atlas = serialize.load_atlas(load_atlas_from, vocab=vocab,
+                                              check_vocab=vocab is not None)
+        else:
+            self.atlas = Atlas(self.cfg.map)
+        self.db = None
+        self.loop_closer = None
+        if vocab is not None and self.cfg.use_loop_closing:
+            from ..place.database import KeyFrameDatabase
+            self.db = KeyFrameDatabase(
+                vocab, max_keyframes=self.cfg.map.max_keyframes * 4)
+            self.loop_closer = LoopCloser(camera, self.atlas, self.db,
+                                          LoopCloserConfig())
+        self.trackers: dict[int, Tracker] = {}
+        self._mappers: dict[int, LocalMapper] = {}
+        self._imu_queues: dict[int, list] = {}
+        self._lock = threading.Lock()
+        self.events: list[dict] = []  # structured event log (SURVEY §5.5)
+        self.add_client(0)
+
+    # ------------------------------------------------------------- clients
+
+    def add_client(self, client_id: int) -> Tracker:
+        """Fork's `System::AddClient` (`System.cc:248-266`): a new tracking
+        lane against the shared active map."""
+        with self._lock:
+            m = self.atlas.active
+            mapper = _HookedMapper(
+                LocalMapper(self.camera, m), self._on_keyframe)
+            tracker = Tracker(self.camera, m, self.cfg.tracker,
+                              client_id=client_id, local_mapper=mapper,
+                              relocalizer=self._relocalize)
+            self.trackers[client_id] = tracker
+            self._mappers[client_id] = mapper
+            self._imu_queues.setdefault(client_id, [])
+            self._log('add_client', client=client_id)
+            return tracker
+
+    def get_tracker(self, client_id: int = 0) -> Tracker:
+        return self.trackers[client_id]
+
+    # -------------------------------------------------------------- tracking
+
+    def track_monocular(self, img: np.ndarray, ts: float, imu=None,
+                        client_id: int = 0):
+        """Reference `System::TrackMonocular` (`System.cc:423-498`)."""
+        if imu is not None:
+            self._imu_queues[client_id].extend(imu)
+        tracker = self.trackers[client_id]
+        out = tracker.process_image(img, ts)
+        self._after_track(tracker)
+        return out
+
+    def track_features(self, feats, ts: float, client_id: int = 0, imu=None):
+        """Track from pre-extracted features (the fork's `TrackEdge` numeric
+        path, `System.cc:500-573` — features arrived over the wire)."""
+        if imu is not None:
+            self._imu_queues[client_id].extend(imu)
+        tracker = self.trackers[client_id]
+        out = tracker.process_features(feats, ts)
+        self._after_track(tracker)
+        return out
+
+    def track_edge(self, client_id: int, pkt):
+        """EdgeServer ``track_fn`` adapter: wire FramePacket -> padded
+        FrameFeatures -> tracking lane. Auto-registers new clients."""
+        from ..vision.frame import features_from_arrays
+        if client_id not in self.trackers:
+            self.add_client(client_id)
+        feats = features_from_arrays(
+            pkt.uv, pkt.desc, capacity=self.cfg.tracker.n_features)
+        imu = list(zip(pkt.imu_ts_ns * 1e-9, pkt.imu_gyro, pkt.imu_acc))
+        return self.track_features(feats, pkt.timestamp_ns * 1e-9,
+                                   client_id=client_id, imu=imu)
+
+    def _after_track(self, tracker: Tracker):
+        """Failure ladder (`Tracking.cc:2108-2152`): on LOST, store a mature
+        map and respawn, or reset a young one."""
+        if tracker.state != TrackingState.LOST:
+            return
+        m = tracker.map
+        if m.n_keyframes > self.cfg.min_kfs_to_store_map:
+            self._log('map_stored', map=m.map_id, kfs=m.n_keyframes)
+            new_id = self.atlas.create_new_map()
+            self._rebind_all_trackers()
+            self._log('map_created', map=new_id)
+        else:
+            self.reset_active_map()
+
+    def _rebind_all_trackers(self):
+        m = self.atlas.active
+        for cid, tracker in self.trackers.items():
+            mapper = _HookedMapper(
+                LocalMapper(self.camera, m), self._on_keyframe)
+            self._mappers[cid] = mapper
+            old_traj = tracker.trajectory
+            fresh = Tracker(self.camera, m, self.cfg.tracker,
+                            client_id=cid, local_mapper=mapper,
+                            relocalizer=self._relocalize)
+            fresh.trajectory = old_traj  # keep cross-map trajectory log
+            fresh._traj_maps = getattr(tracker, '_traj_maps', []) + \
+                [(len(old_traj), tracker.map)]
+            self.trackers[cid] = fresh
+
+    def reset_active_map(self):
+        """Reference `System::ResetActiveMap` (`System.cc:557+`)."""
+        m = self.atlas.active
+        mid = m.map_id
+        if self.db is not None:
+            self.db.clear_map(mid)
+        self.atlas.maps[mid] = type(m)(m.cfg, map_id=mid)
+        self._rebind_all_trackers()
+        self._log('map_reset', map=mid)
+
+    # ------------------------------------------------------------ keyframes
+
+    def _on_keyframe(self, k: int):
+        """Post-LocalMapping keyframe hook: BoW + database insert + loop/merge
+        detection (the LocalMapping->LoopClosing queue handoff,
+        `LocalMapping.cc:254`)."""
+        if self.loop_closer is None:
+            return
+        m = self.atlas.active
+        ev = self.loop_closer.process_keyframe(k)
+        if ev is not None:
+            self._log('loop_event', kind=getattr(ev, 'kind', 'loop'), kf=k)
+
+    # -------------------------------------------------------- relocalization
+
+    def _relocalize(self, feats):
+        """BoW relocalization against the active map
+        (`Tracking::Relocalization`, Tracking.cc:3753-3921): KFDB candidates
+        -> Hamming feature match vs candidate KF -> PnP RANSAC + pose GN.
+        Returns (R_cw, t_cw, per-feature mp ids, ref_kf) or None."""
+        if self.db is None:
+            return None
+        import jax
+        import jax.numpy as jnp
+
+        from ..kernels import hamming as ham
+        from ..kernels import orb_descriptor as desc_k
+        from ..vision.pnp import relocalize_pose
+
+        m = self.atlas.active
+        if m.n_keyframes < 2:
+            return None
+        f = jax.device_get(feats)
+        desc = np.asarray(f.desc)
+        fval = np.asarray(f.valid)
+        _, bow = self.db.compute_bow(desc, fval)
+        covis = (lambda kf: [int(x) for x in m.covisibility(kf, min_shared=10)]
+                 if m.kf_valid[kf] else [])
+        cands = self.db.detect_relocalization_candidates(
+            bow, covis, map_id=m.map_id)
+        q_planes = desc_k.descriptor_planes(jnp.asarray(desc))
+        key = jax.random.PRNGKey(int(m.change_index) & 0x7FFFFFFF)
+        for cand in list(cands[:5]):
+            cand = int(cand)
+            if cand >= m.kf_valid.size or not m.kf_valid[cand]:
+                continue
+            obs = m.kf_obs_mp[cand]
+            has_mp = (obs >= 0) & m.kf_feat_valid[cand]
+            if has_mp.sum() < 15:
+                continue
+            c_planes = desc_k.descriptor_planes(jnp.asarray(m.kf_desc[cand]))
+            dist = ham.distance_matrix(q_planes, c_planes)
+            dist = jnp.where(
+                jnp.asarray(fval)[:, None] & jnp.asarray(has_mp)[None, :],
+                dist, 1 << 20)
+            idx, _, ok = ham.match_ratio(dist, max_dist=ham.TH_LOW,
+                                         ratio=0.75)
+            idx_np = np.asarray(idx)
+            ok_np = np.asarray(ok) & fval
+            mp = np.where(ok_np, obs[np.clip(idx_np, 0, obs.size - 1)], -1)
+            if (mp >= 0).sum() < 15:
+                continue
+            pts = m.mp_pos[np.clip(mp, 0, None)]
+            info = 1.0 / (1.2 ** (2 * np.asarray(f.octave)))
+            R, t, okp, n = relocalize_pose(
+                jnp.asarray(pts), jnp.asarray(f.uv, jnp.float32),
+                jnp.asarray(info, jnp.float32), jnp.asarray(mp >= 0),
+                self.camera, key)
+            if bool(okp):
+                self._log('relocalized', kf=cand, inliers=int(n))
+                return np.asarray(R), np.asarray(t), mp, cand
+        return None
+
+    # ----------------------------------------------------------- trajectory
+
+    def _trajectory(self, client_id: int = 0):
+        tracker = self.trackers[client_id]
+        return tracker.export_trajectory()
+
+    def _full_poses(self, client_id: int = 0):
+        """(ts, R_wc, t_wc) per tracked frame, composing relative poses with
+        current KF estimates (SaveTrajectoryTUM logic, System.cc:666-724)."""
+        tracker = self.trackers[client_id]
+        m = tracker.map
+        uid_to_slot = {int(m.kf_uid[k]): int(k) for k in m.keyframe_ids()}
+        out = []
+        for rec in tracker.trajectory:
+            slot = uid_to_slot.get(rec.ref_kf_uid, -1)
+            if slot < 0:
+                continue
+            Rr, tr = m.kf_R[slot], m.kf_t[slot]
+            R_cw = rec.Tcr_R @ Rr
+            t_cw = rec.Tcr_R @ tr + rec.Tcr_t
+            out.append((rec.ts, R_cw.T, -R_cw.T @ t_cw))
+        return out
+
+    def save_trajectory_tum(self, path: str, client_id: int = 0):
+        """`ts x y z qx qy qz qw` per line (System::SaveTrajectoryTUM)."""
+        with open(path, 'w') as f:
+            for ts, R_wc, t_wc in self._full_poses(client_id):
+                q = rotation_to_quat(R_wc)
+                f.write(f'{ts:.6f} {t_wc[0]:.7f} {t_wc[1]:.7f} {t_wc[2]:.7f} '
+                        f'{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}\n')
+
+    def save_trajectory_euroc(self, path: str, client_id: int = 0):
+        """Nanosecond timestamps (System::SaveTrajectoryEuRoC)."""
+        with open(path, 'w') as f:
+            for ts, R_wc, t_wc in self._full_poses(client_id):
+                q = rotation_to_quat(R_wc)
+                f.write(f'{int(ts * 1e9)} {t_wc[0]:.9f} {t_wc[1]:.9f} '
+                        f'{t_wc[2]:.9f} {q[0]:.9f} {q[1]:.9f} {q[2]:.9f} '
+                        f'{q[3]:.9f}\n')
+
+    def save_trajectory_kitti(self, path: str, client_id: int = 0):
+        """Row-major 3x4 T_wc per line (System::SaveTrajectoryKITTI)."""
+        with open(path, 'w') as f:
+            for _, R_wc, t_wc in self._full_poses(client_id):
+                T = np.hstack([R_wc, t_wc[:, None]])
+                f.write(' '.join(f'{v:.9e}' for v in T.reshape(-1)) + '\n')
+
+    # ------------------------------------------------------------ lifecycle
+
+    def save_atlas(self, path: str):
+        serialize.save_atlas(self.atlas, path, vocab=self.vocab)
+        self._log('atlas_saved', path=path)
+
+    def shutdown(self, save_atlas_to: str = None):
+        if save_atlas_to:
+            self.save_atlas(save_atlas_to)
+        self._log('shutdown')
+
+    def print_info(self, client_id: int = 0) -> dict:
+        """Fork's `System::PrintInfo` (`System.cc:1361-1380`): current state
+        snapshot for a client."""
+        t = self.trackers[client_id]
+        m = t.map
+        return {
+            'client': client_id, 'state': t.state.name,
+            'map_id': m.map_id, 'n_kfs': m.n_keyframes,
+            'n_mps': m.n_points, 'imu_initialized': m.imu_initialized,
+            'n_maps': len(self.atlas.maps),
+        }
+
+    def _log(self, kind: str, **kw):
+        self.events.append({'event': kind, **kw})
+
+
+class _HookedMapper:
+    """LocalMapper wrapper that fires the system's post-KF hook — the
+    LocalMapping -> LoopClosing queue handoff (`LocalMapping.cc:254`)."""
+
+    def __init__(self, mapper: LocalMapper, on_kf):
+        self.mapper = mapper
+        self._on_kf = on_kf
+
+    def process_keyframe(self, k: int):
+        self.mapper.process_keyframe(k)
+        self._on_kf(k)
+
+    def __getattr__(self, name):
+        return getattr(self.mapper, name)

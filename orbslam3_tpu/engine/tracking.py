@@ -77,12 +77,15 @@ class Tracker:
     """One tracking lane (the fork runs one per connected client)."""
 
     def __init__(self, camera, slam_map: MapState, cfg: TrackerConfig = None,
-                 client_id: int = 0, local_mapper=None):
+                 client_id: int = 0, local_mapper=None, relocalizer=None):
         self.camera = camera
         self.map = slam_map
         self.cfg = cfg or TrackerConfig()
         self.client_id = client_id
         self.local_mapper = local_mapper
+        # callable(feats) -> (R_cw, t_cw, mp_ids, ref_kf) | None — BoW reloc
+        # against the shared map (Tracking::Relocalization, 3753-3921)
+        self.relocalizer = relocalizer
         self.state = TrackingState.NO_IMAGES_YET
         # initialization buffers
         self._init_feats: Optional[FrameFeatures] = None
@@ -122,9 +125,19 @@ class Tracker:
         """
         self.frame_id += 1
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
-            self._monocular_initialization(feats, ts)
+            # secondary clients on a mature shared map relocalize instead of
+            # re-initializing (System.cc:517-519, client.cc:166)
+            if (self.client_id != 0 and self.relocalizer is not None
+                    and self.map.n_keyframes >= 5):
+                if self._try_relocalize(feats, ts):
+                    self.state = TrackingState.OK
+            else:
+                self._monocular_initialization(feats, ts)
         elif self.state in (TrackingState.OK, TrackingState.RECENTLY_LOST):
             ok = self._track_frame(feats, ts)
+            if not ok and self.relocalizer is not None:
+                # visual relocalization while recently lost (Tracking.cc:2131)
+                ok = self._try_relocalize(feats, ts)
             if ok:
                 self.state = TrackingState.OK
                 self._lost_count = 0
@@ -353,6 +366,22 @@ class Tracker:
         # keyframe policy
         if self._need_new_keyframe(n_in):
             self._create_keyframe(feats, ts, mp_ids)
+        return True
+
+    def _try_relocalize(self, feats: FrameFeatures, ts: float) -> bool:
+        out = self.relocalizer(feats)
+        if out is None:
+            return False
+        R, t, mp_ids, ref_kf = out
+        self.R_cw = np.asarray(R, np.float32).copy()
+        self.t_cw = np.asarray(t, np.float32).copy()
+        self._last_R, self._last_t = self.R_cw.copy(), self.t_cw.copy()
+        self._vel_R = np.eye(3, dtype=np.float32)
+        self._vel_t = np.zeros(3, np.float32)
+        self._last_feats = feats
+        self._last_mp_ids = np.asarray(mp_ids, np.int32)
+        self._set_ref_kf(int(ref_kf))
+        self._lost_count = 0
         return True
 
     def _need_new_keyframe(self, n_in: int) -> bool:

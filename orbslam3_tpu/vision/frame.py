@@ -122,3 +122,14 @@ def features_from_wire(uv, desc, n_capacity: int):
         octave=jnp.zeros(n_capacity, jnp.int32),
         desc=d_p, valid=valid,
     )
+
+
+def features_from_arrays(uv: "np.ndarray", desc_bytes: "np.ndarray",
+                         capacity: int) -> FrameFeatures:
+    """Wire-format adapter: (n, 32) uint8 ORB descriptors (SlamPktVI layout)
+    -> packed (n, 8) uint32 words -> padded FrameFeatures."""
+    import numpy as np
+    d = np.ascontiguousarray(np.asarray(desc_bytes, np.uint8))
+    packed = d.view('<u4').reshape(d.shape[0], 8)
+    return features_from_wire(jnp.asarray(np.asarray(uv), jnp.float32),
+                              jnp.asarray(packed), capacity)
