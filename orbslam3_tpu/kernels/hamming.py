@@ -84,6 +84,41 @@ def match_ratio(
     return idx, best.astype(jnp.int32), ok
 
 
+def use_pallas() -> bool:
+    """Fused Pallas matcher on real TPU; unfused XLA path elsewhere (tests run
+    on the virtual CPU mesh, where interpret-mode Pallas is exercised by a
+    dedicated equivalence test instead of the whole suite)."""
+    import os
+    force = os.environ.get("ORBSLAM3_TPU_PALLAS", "")
+    if force == "0":
+        return False
+    return force == "1" or jax.default_backend() == "tpu"
+
+
+def masked_match_ratio(
+    planes_a: jax.Array,  # (N,256) +/-1 planes
+    planes_b: jax.Array,  # (M,256)
+    mask: jax.Array,      # (N,M) bool, True = candidate allowed
+    max_dist: int = TH_LOW,
+    ratio: float = 0.9,
+):
+    """Best-match + Lowe ratio test over a candidate mask.
+
+    Single entry point for every Search* policy: dispatches to the fused
+    Pallas kernel (kernels/hamming_pallas.py) on TPU, else computes the
+    masked distance matrix through XLA. Returns (idx, best_dist, ok).
+    """
+    if use_pallas():
+        from orbslam3_tpu.kernels import hamming_pallas
+        idx, best, second = hamming_pallas.masked_top2(planes_a, planes_b, mask)
+        ok = (best <= max_dist) & (
+            best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+        return idx, best, ok
+    big = jnp.int32(1 << 20)
+    dist = jnp.where(mask, distance_matrix(planes_a, planes_b), big)
+    return match_ratio(dist, max_dist=max_dist, ratio=ratio)
+
+
 def mutual_filter(idx_ab: jax.Array, ok_ab: jax.Array, idx_ba: jax.Array) -> jax.Array:
     """Cross-check: keep a->b matches whose b->a best maps back to a."""
     n = idx_ab.shape[0]

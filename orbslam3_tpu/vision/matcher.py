@@ -81,10 +81,9 @@ def search_by_projection(
     r = radius * (1.2 ** f_octave.astype(jnp.float32))  # octave-scaled window
     window = d2 <= jnp.square(r)[None, :]
 
-    dist = ham.distance_matrix(mp_planes, f_planes)
-    dist = jnp.where(window & vis[:, None] & f_valid[None, :], dist, BIG)
-
-    idx, best, ok = ham.match_ratio(dist, max_dist=max_dist, ratio=ratio)
+    mask = window & vis[:, None] & f_valid[None, :]
+    idx, best, ok = ham.masked_match_ratio(
+        mp_planes, f_planes, mask, max_dist=max_dist, ratio=ratio)
     ok = ok & vis
     keep = _resolve_duplicates(idx, best, ok, f_uv.shape[0])
     return idx, best, keep, jnp.sum(keep), vis
@@ -99,10 +98,11 @@ def search_for_initialization(
     (reference `SearchForInitialization`, ORBmatcher.cc)."""
     d2 = jnp.sum(jnp.square(uv1[:, None, :] - uv2[None, :, :]), axis=-1)
     window = d2 <= radius * radius
-    dist = ham.distance_matrix(planes1, planes2)
-    dist = jnp.where(window & valid1[:, None] & valid2[None, :], dist, BIG)
-    idx, best, ok = ham.match_ratio(dist, max_dist=max_dist, ratio=ratio)
-    idx_ba, _, _ = ham.match_ratio(dist.T, max_dist=max_dist, ratio=ratio)
+    mask = window & valid1[:, None] & valid2[None, :]
+    idx, best, ok = ham.masked_match_ratio(
+        planes1, planes2, mask, max_dist=max_dist, ratio=ratio)
+    idx_ba, _, _ = ham.masked_match_ratio(
+        planes2, planes1, mask.T, max_dist=max_dist, ratio=ratio)
     ok = ham.mutual_filter(idx, ok, idx_ba)
     return idx, best, ok, jnp.sum(ok)
 
@@ -139,10 +139,11 @@ def search_for_triangulation(
     epi_px = num / den * focal
     epi_ok = epi_px < 3.84 * epi_sigma
 
-    dist = ham.distance_matrix(planes1, planes2)
-    dist = jnp.where(epi_ok & avail1[:, None] & avail2[None, :], dist, BIG)
-    idx, best, ok = ham.match_ratio(dist, max_dist=max_dist, ratio=0.8)
-    idx_ba, _, _ = ham.match_ratio(dist.T, max_dist=max_dist, ratio=0.8)
+    mask = epi_ok & avail1[:, None] & avail2[None, :]
+    idx, best, ok = ham.masked_match_ratio(
+        planes1, planes2, mask, max_dist=max_dist, ratio=0.8)
+    idx_ba, _, _ = ham.masked_match_ratio(
+        planes2, planes1, mask.T, max_dist=max_dist, ratio=0.8)
     ok = ham.mutual_filter(idx, ok, idx_ba)
     return idx, ok
 
@@ -167,9 +168,9 @@ def fuse_by_projection(
     d2 = jnp.sum(jnp.square(uv[:, None, :] - f_uv[None, :, :]), axis=-1)
     r = radius * (1.2 ** f_octave.astype(jnp.float32))
     window = d2 <= jnp.square(r)[None, :]
-    dist = ham.distance_matrix(mp_planes, f_planes)
-    dist = jnp.where(window & vis[:, None] & f_valid[None, :], dist, BIG)
-    idx, best, ok = ham.match_ratio(dist, max_dist=max_dist, ratio=1.0)
+    mask = window & vis[:, None] & f_valid[None, :]
+    idx, best, ok = ham.masked_match_ratio(
+        mp_planes, f_planes, mask, max_dist=max_dist, ratio=1.0)
     ok = ok & vis
     keep = _resolve_duplicates(idx, best, ok, f_uv.shape[0])
     return idx, keep
