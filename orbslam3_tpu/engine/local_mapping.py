@@ -38,14 +38,22 @@ class LocalMapperConfig:
     culling_min_found_ratio: float = 0.25
     culling_obs_after: int = 3        # KFs after creation before obs test
     kf_cull_redundancy: float = 0.9   # reference: 90% redundant observations
+    # IMU init ladder (reference LocalMapping.cc:185-244)
+    imu_init_min_kfs: int = 8
+    imu_init_min_span_s: float = 2.0  # mono needs ~2 s of excitation
+    viba1_after_s: float = 5.0
+    viba2_after_s: float = 15.0
+    inertial_window_kfs: int = 10     # LocalInertialBA temporal window
 
 
 class LocalMapper:
     def __init__(self, camera, slam_map: MapState,
-                 cfg: LocalMapperConfig = None):
+                 cfg: LocalMapperConfig = None, imu_calib=None):
         self.camera = camera
         self.map = slam_map
         self.cfg = cfg or LocalMapperConfig()
+        self.imu_calib = imu_calib
+        self._t_imu_init: float | None = None  # ts of first IMU init (mTinit)
         # recent map points to watch for culling: list of (mp_id, created_kf_count)
         self._recent_mps: list[tuple[int, int]] = []
         self._kf_counter = 0
@@ -61,10 +69,56 @@ class LocalMapper:
         self._cull_map_points()
         self._create_new_map_points(k)
         self._fuse_neighbors(k)
-        window = [k] + list(self.map.covisibility(k, min_shared=15)[: self.cfg.window_kfs - 1])
-        fixed = self._fixed_border(window)
-        self._run_ba(window, fixed, self.cfg.ba_iters)
+        # local BA dispatch (LocalMapping.cc:133-160): inertial window BA once
+        # IMU is initialized, else visual covisibility-window BA
+        if self.map.imu_initialized and self.imu_calib is not None:
+            from orbslam3_tpu.imu import init as imu_init
+            imu_init.full_inertial_ba(
+                self.map, self.imu_calib, self.camera,
+                n_iters=self.cfg.ba_iters,
+                points_cap=self.cfg.ba_points_cap,
+                obs_cap=self.cfg.ba_obs_cap,
+                window=self.cfg.inertial_window_kfs)
+        else:
+            window = [k] + list(self.map.covisibility(k, min_shared=15)[: self.cfg.window_kfs - 1])
+            fixed = self._fixed_border(window)
+            self._run_ba(window, fixed, self.cfg.ba_iters)
+        self._imu_init_ladder(k)
         self._cull_keyframes(k)
+
+    # ------------------------------------------------------------- imu ladder
+    def _imu_init_ladder(self, k: int):
+        """Staged IMU initialization (reference InitializeIMU dispatch,
+        LocalMapping.cc:185-244): first init -> VIBA1 (>5 s) -> VIBA2 (>15 s)."""
+        if self.imu_calib is None:
+            return
+        from orbslam3_tpu.imu import init as imu_init
+        m = self.map
+        cfg = self.cfg
+        kfs, pres = imu_init.chain_with_preint(m)
+        if len(kfs) < cfg.imu_init_min_kfs:
+            return
+        span = float(m.kf_ts[kfs[-1]] - m.kf_ts[kfs[0]])
+        now = float(m.kf_ts[k])
+        if not m.imu_initialized:
+            if span < cfg.imu_init_min_span_s:
+                return
+            out = imu_init.initialize_imu(m, self.imu_calib,
+                                          prior_gyro=1e2, prior_acc=1e10)
+            if out is not None:
+                self._t_imu_init = now
+                imu_init.full_inertial_ba(m, self.imu_calib, self.camera,
+                                          n_iters=self.cfg.ba_iters)
+            return
+        elapsed = now - (self._t_imu_init if self._t_imu_init is not None else now)
+        if m.iba_stage == 0 and elapsed > cfg.viba1_after_s:
+            if imu_init.initialize_imu(m, self.imu_calib, prior_gyro=1.0,
+                                       prior_acc=1e5) is not None:
+                m.iba_stage = 1
+        elif m.iba_stage == 1 and elapsed > cfg.viba2_after_s:
+            if imu_init.initialize_imu(m, self.imu_calib, prior_gyro=0.0,
+                                       prior_acc=0.0) is not None:
+                m.iba_stage = 2
 
     # --------------------------------------------------------------- culling
     def _cull_map_points(self):

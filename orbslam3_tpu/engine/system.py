@@ -44,6 +44,7 @@ class SystemConfig:
     sensor: Sensor = Sensor.MONOCULAR
     map: MapConfig = field(default_factory=MapConfig)
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    imu_calib: object = None  # ImuCalib for IMU_* sensors
     use_loop_closing: bool = True
     # LOST with a map this mature stores it and spawns a fresh one
     # (Tracking.cc:2147-2152: >10 KFs); smaller maps are reset instead.
@@ -109,10 +110,12 @@ class Slam:
         with self._lock:
             m = self.atlas.active
             mapper = _HookedMapper(
-                LocalMapper(self.camera, m), self._on_keyframe)
+                LocalMapper(self.camera, m, imu_calib=self._imu_calib()),
+                self._on_keyframe)
             tracker = Tracker(self.camera, m, self.cfg.tracker,
                               client_id=client_id, local_mapper=mapper,
-                              relocalizer=self._relocalize)
+                              relocalizer=self._relocalize,
+                              imu_calib=self._imu_calib(client_id))
             self.trackers[client_id] = tracker
             self._mappers[client_id] = mapper
             self._imu_queues.setdefault(client_id, [])
@@ -122,6 +125,15 @@ class Slam:
     def get_tracker(self, client_id: int = 0) -> Tracker:
         return self.trackers[client_id]
 
+    def _imu_calib(self, client_id: int = 0):
+        """IMU calib for inertial sensor configs. Only the primary client
+        runs IMU prediction in the fork (Tracking.cc:2114); secondary lanes
+        still queue samples for completeness."""
+        if self.cfg.sensor in (Sensor.IMU_MONOCULAR, Sensor.IMU_STEREO,
+                               Sensor.IMU_RGBD):
+            return self.cfg.imu_calib
+        return None
+
     # -------------------------------------------------------------- tracking
 
     def track_monocular(self, img: np.ndarray, ts: float, imu=None,
@@ -130,6 +142,9 @@ class Slam:
         if imu is not None:
             self._imu_queues[client_id].extend(imu)
         tracker = self.trackers[client_id]
+        if self._imu_queues[client_id]:
+            tracker.queue_imu(self._imu_queues[client_id])
+            self._imu_queues[client_id] = []
         out = tracker.process_image(img, ts)
         self._after_track(tracker)
         return out
@@ -140,6 +155,9 @@ class Slam:
         if imu is not None:
             self._imu_queues[client_id].extend(imu)
         tracker = self.trackers[client_id]
+        if self._imu_queues[client_id]:
+            tracker.queue_imu(self._imu_queues[client_id])
+            self._imu_queues[client_id] = []
         out = tracker.process_features(feats, ts)
         self._after_track(tracker)
         return out
@@ -174,12 +192,14 @@ class Slam:
         m = self.atlas.active
         for cid, tracker in self.trackers.items():
             mapper = _HookedMapper(
-                LocalMapper(self.camera, m), self._on_keyframe)
+                LocalMapper(self.camera, m, imu_calib=self._imu_calib()),
+                self._on_keyframe)
             self._mappers[cid] = mapper
             old_traj = tracker.trajectory
             fresh = Tracker(self.camera, m, self.cfg.tracker,
                             client_id=cid, local_mapper=mapper,
-                            relocalizer=self._relocalize)
+                            relocalizer=self._relocalize,
+                            imu_calib=self._imu_calib(cid))
             fresh.trajectory = old_traj  # keep cross-map trajectory log
             fresh._traj_maps = getattr(tracker, '_traj_maps', []) + \
                 [(len(old_traj), tracker.map)]

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from orbslam3_tpu.core import lie
+from orbslam3_tpu.imu import preintegration as preint
 from orbslam3_tpu.kernels import orb_descriptor as desc_k
 from orbslam3_tpu.opt.pose_gn import optimize_pose
 from orbslam3_tpu.slam_map.map_state import MapState
@@ -62,6 +63,7 @@ class TrackerConfig:
     kf_min_inliers: int = 15
     max_mp_dist: int = 100           # TH_HIGH descriptor gate
     recently_lost_frames: int = 20   # ~1s at 20fps (time_recently_lost)
+    imu_samples_per_frame: int = 128  # padded preintegration window capacity
 
 
 @dataclasses.dataclass
@@ -77,11 +79,21 @@ class Tracker:
     """One tracking lane (the fork runs one per connected client)."""
 
     def __init__(self, camera, slam_map: MapState, cfg: TrackerConfig = None,
-                 client_id: int = 0, local_mapper=None, relocalizer=None):
+                 client_id: int = 0, local_mapper=None, relocalizer=None,
+                 imu_calib=None):
         self.camera = camera
         self.map = slam_map
         self.cfg = cfg or TrackerConfig()
         self.client_id = client_id
+        # visual-inertial state (reference Tracking IMU members,
+        # Tracking.h:244-261): calib + sample queue + per-frame/per-KF
+        # preintegration accumulators + world body velocity
+        self.imu_calib = imu_calib
+        self._imu_queue: list[tuple[float, np.ndarray, np.ndarray]] = []
+        self._pre_cur = None                 # preintegration last->cur frame
+        self._pre_frames: list = []          # accumulated since last KF
+        self._last_ts: Optional[float] = None
+        self._vel_w: Optional[np.ndarray] = None  # body velocity (world)
         self.local_mapper = local_mapper
         # callable(feats) -> (R_cw, t_cw, mp_ids, ref_kf) | None — BoW reloc
         # against the shared map (Tracking::Relocalization, 3753-3921)
@@ -112,6 +124,85 @@ class Tracker:
         self.ref_kf = k
         self._ref_uid = int(self.map.kf_uid[k]) if k >= 0 else -1
 
+    # ------------------------------------------------------------------ imu
+    def queue_imu(self, samples):
+        """`Tracking::GrabImuData` (Tracking.cc:1743): samples are
+        (ts_seconds, gyro(3,), acc(3,)) tuples, timestamp-ordered."""
+        for ts, gyro, acc in samples:
+            self._imu_queue.append(
+                (float(ts), np.asarray(gyro, np.float32),
+                 np.asarray(acc, np.float32)))
+
+    def _current_bias(self) -> np.ndarray:
+        if self.ref_kf >= 0 and self.map.kf_valid[self.ref_kf]:
+            return self.map.kf_bias[self.ref_kf].copy()
+        return np.zeros(6, np.float32)
+
+    def _preintegrate_to(self, ts: float):
+        """`Tracking::PreintegrateIMU` (Tracking.cc:1749-1860): integrate the
+        queued samples in (last_frame_ts, ts] into a Preintegrated edge."""
+        if self.imu_calib is None or self._last_ts is None:
+            return None
+        t0, t1 = self._last_ts, ts
+        take = [s for s in self._imu_queue if t0 < s[0] <= t1 + 1e-6]
+        self._imu_queue = [s for s in self._imu_queue if s[0] > t1 + 1e-6]
+        if not take:
+            return None
+        cap = self.cfg.imu_samples_per_frame
+        acc = np.zeros((cap, 3), np.float32)
+        gyro = np.zeros((cap, 3), np.float32)
+        dt = np.zeros(cap, np.float32)
+        prev = t0
+        for i, (ti, g, a) in enumerate(take[:cap]):
+            acc[i], gyro[i] = a, g
+            dt[i] = max(ti - prev, 0.0)
+            prev = ti
+        bias = self._current_bias()
+        return preint.preintegrate(
+            jnp.asarray(acc), jnp.asarray(gyro), jnp.asarray(dt),
+            jnp.asarray(bias), self.imu_calib)
+
+    def _body_pose(self, R_cw, t_cw):
+        from orbslam3_tpu.imu.init import cam_from_body
+        Rcb, tcb = cam_from_body(self.imu_calib)
+        Rwb = R_cw.T @ Rcb
+        twb = R_cw.T @ (tcb - t_cw)
+        return Rwb, twb, Rcb, tcb
+
+    def _predict_pose_imu(self):
+        """`Tracking::PredictStateIMU` (Tracking.cc:1863-1911): propagate the
+        last frame's body state through the preintegrated window. Gravity is
+        canonical -z after the IMU-init re-gauge."""
+        if (self._pre_cur is None or self._vel_w is None
+                or not self.map.imu_initialized):
+            return None
+        p = jax.device_get(self._pre_cur)
+        bias = jnp.asarray(self._current_bias())
+        dR = np.asarray(preint.delta_rotation(self._pre_cur, bias))
+        dV = np.asarray(preint.delta_velocity(self._pre_cur, bias))
+        dP = np.asarray(preint.delta_position(self._pre_cur, bias))
+        dT = float(p.dT)
+        if dT <= 1e-6:
+            return None
+        g = np.array([0.0, 0.0, -preint.GRAVITY], np.float32)
+        Rwb1, twb1, Rcb, tcb = self._body_pose(self.R_cw, self.t_cw)
+        Rwb2 = Rwb1 @ dR
+        twb2 = twb1 + self._vel_w * dT + 0.5 * g * dT * dT + Rwb1 @ dP
+        v2 = self._vel_w + g * dT + Rwb1 @ dV
+        R_cw = Rcb @ Rwb2.T
+        t_cw = -R_cw @ twb2 + tcb
+        return (R_cw.astype(np.float32), t_cw.astype(np.float32),
+                v2.astype(np.float32))
+
+    def _update_velocity(self, R_prev, t_prev, dt: float):
+        """Body velocity by finite difference after a tracked frame (the
+        reference recomputes mVw in UpdateFrameIMU / SetVelocity paths)."""
+        if self.imu_calib is None or dt <= 1e-6:
+            return
+        _, twb_prev, _, _ = self._body_pose(R_prev, t_prev)
+        _, twb_cur, _, _ = self._body_pose(self.R_cw, self.t_cw)
+        self._vel_w = ((twb_cur - twb_prev) / dt).astype(np.float32)
+
     # ------------------------------------------------------------------ api
     def process_image(self, img: np.ndarray, ts: float):
         feats = extract_features(jnp.asarray(img, jnp.float32),
@@ -124,6 +215,9 @@ class Tracker:
         Returns the world->camera pose (R, t) or None while uninitialized.
         """
         self.frame_id += 1
+        self._pre_cur = self._preintegrate_to(ts)
+        if self._pre_cur is not None:
+            self._pre_frames.append(self._pre_cur)
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             # secondary clients on a mature shared map relocalize instead of
             # re-initializing (System.cc:517-519, client.cc:166)
@@ -143,11 +237,20 @@ class Tracker:
                 self._lost_count = 0
             else:
                 self._lost_count += 1
+                # IMU dead-reckoning while RECENTLY_LOST (Tracking.cc:2108-2127
+                # — inertial maps hold the pose via PredictStateIMU for
+                # time_recently_lost before declaring LOST; client 0 only)
+                if (self._lost_count <= self.cfg.recently_lost_frames
+                        and self.client_id == 0):
+                    pred = self._predict_pose_imu()
+                    if pred is not None:
+                        self.R_cw, self.t_cw, self._vel_w = pred
                 self.state = (
                     TrackingState.RECENTLY_LOST
                     if self._lost_count <= self.cfg.recently_lost_frames
                     else TrackingState.LOST
                 )
+        self._last_ts = ts
         self._record_pose(ts)
         if self.state in (TrackingState.OK, TrackingState.RECENTLY_LOST):
             return self.R_cw.copy(), self.t_cw.copy()
@@ -160,6 +263,7 @@ class Tracker:
             if int(np.asarray(feats.valid).sum()) >= cfg.init_min_matches:
                 self._init_feats = feats
                 self._init_ts = ts
+                self._pre_frames = []  # preintegrate from the init ref frame
             self.state = TrackingState.NOT_INITIALIZED
             return
 
@@ -174,6 +278,7 @@ class Tracker:
             # reference: replace the reference frame and retry
             self._init_feats = feats
             self._init_ts = ts
+            self._pre_frames = []
             return
 
         x_ref = self.camera.unproject(self._init_feats.uv)[:, :2]
@@ -222,11 +327,18 @@ class Tracker:
             np.asarray(ref_np.angle), np.asarray(ref_np.desc),
             np.asarray(ref_np.valid), obs0,
         )
+        pre_init = None
+        if self.imu_calib is not None and self._pre_frames:
+            pre_init = self._pre_frames[0]
+            for p in self._pre_frames[1:]:
+                pre_init = preint.merge(pre_init, p)
+            pre_init = jax.device_get(pre_init)
+        self._pre_frames = []
         k1 = self.map.add_keyframe(
             R2, t2, ts, self.frame_id, np.asarray(cur_np.uv),
             np.asarray(cur_np.octave), np.asarray(cur_np.angle),
             np.asarray(cur_np.desc), np.asarray(cur_np.valid), obs1,
-            prev_kf=k0,
+            prev_kf=k0, preint=pre_init,
         )
         self._update_mp_stats_after_insert(ids[good])
 
@@ -271,9 +383,16 @@ class Tracker:
             if len(ids) == 0:
                 return False
             self._set_ref_kf(int(ids[np.argmax(m.kf_frame_id[ids])]))
-        # motion-model prediction
-        R_pred = self._vel_R @ self.R_cw
-        t_pred = self._vel_R @ self.t_cw + self._vel_t
+        # pose prediction: IMU propagation once inertial is initialized
+        # (TrackWithMotionModel, Tracking.cc:3010-3021), else constant
+        # velocity
+        pred_v = None
+        pred = self._predict_pose_imu()
+        if pred is not None:
+            R_pred, t_pred, pred_v = pred
+        else:
+            R_pred = self._vel_R @ self.R_cw
+            t_pred = self._vel_R @ self.t_cw + self._vel_t
 
         local_ids = self._local_map_points()
         if len(local_ids) == 0:
@@ -355,9 +474,16 @@ class Tracker:
         m.mp_found[ids_p[good]] += 1
 
         # velocity model update
+        R_prev, t_prev = self.R_cw.copy(), self.t_cw.copy()
         self._vel_R = (R1 @ self.R_cw.T).astype(np.float32)
         self._vel_t = (t1 - self._vel_R @ self.t_cw).astype(np.float32)
         self.R_cw, self.t_cw = R1.astype(np.float32), t1.astype(np.float32)
+        # body-velocity update for IMU propagation
+        if self.imu_calib is not None and self._last_ts is not None:
+            dt = ts - self._last_ts
+            if pred_v is not None:
+                self._vel_w = pred_v  # IMU-propagated seed, then corrected:
+            self._update_velocity(R_prev, t_prev, dt)
         self._last_feats = feats
         self._last_mp_ids = mp_ids
         self.n_inliers = n_in
@@ -398,11 +524,24 @@ class Tracker:
     def _create_keyframe(self, feats: FrameFeatures, ts: float,
                          mp_ids: np.ndarray):
         f = jax.device_get(feats)
+        # merge the per-frame preintegrations since the last KF into one
+        # KF->KF inertial edge (reference mpImuPreintegratedFromLastKF,
+        # CreateNewKeyFrame Tracking.cc:3360-3380)
+        pre_kf = None
+        if self.imu_calib is not None and self._pre_frames:
+            pre_kf = self._pre_frames[0]
+            for p in self._pre_frames[1:]:
+                pre_kf = preint.merge(pre_kf, p)
+            pre_kf = jax.device_get(pre_kf)
+        self._pre_frames = []
         k = self.map.add_keyframe(
             self.R_cw, self.t_cw, ts, self.frame_id,
             np.asarray(f.uv), np.asarray(f.octave), np.asarray(f.angle),
             np.asarray(f.desc), np.asarray(f.valid), mp_ids.copy(),
             prev_kf=self.ref_kf,
+            vel=self._vel_w if self._vel_w is not None else None,
+            bias=self._current_bias() if self.imu_calib is not None else None,
+            preint=pre_kf,
         )
         self._update_mp_stats_after_insert(mp_ids[mp_ids >= 0])
         self._set_ref_kf(k)

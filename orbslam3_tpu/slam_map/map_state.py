@@ -71,6 +71,10 @@ class MapState:
         # monotonically increasing mnId; slots here are reusable storage)
         self.kf_uid = np.full(M, -1, np.int64)
         self._next_uid = 0
+        # per-KF IMU preintegration vs. kf_prev (reference
+        # KeyFrame::mpImuPreintegrated): host dict slot -> Preintegrated,
+        # cleared when the slot is tombstoned
+        self.kf_pre: dict[int, object] = {}
         # change bookkeeping (reference Map::mnMapChange)
         self.change_index = 0
         self.imu_initialized = False
@@ -90,7 +94,7 @@ class MapState:
 
     def add_keyframe(self, R, t, ts, frame_id, uv, octave, angle, desc,
                      feat_valid, obs_mp, prev_kf: int = -1,
-                     vel=None, bias=None) -> int:
+                     vel=None, bias=None, preint=None) -> int:
         free = np.nonzero(~self.kf_valid)[0]
         if len(free) == 0:
             raise RuntimeError("keyframe capacity exhausted")
@@ -110,6 +114,10 @@ class MapState:
             self.kf_vel[k] = vel
         if bias is not None:
             self.kf_bias[k] = bias
+        if preint is not None:
+            self.kf_pre[k] = preint
+        elif k in self.kf_pre:
+            del self.kf_pre[k]
         self.kf_uid[k] = self._next_uid
         self._next_uid += 1
         self.kf_valid[k] = True
@@ -125,6 +133,28 @@ class MapState:
         """SetBadFlag equivalent: tombstone the KF and its observations."""
         self.kf_valid[k] = False
         self.kf_obs_mp[k] = -1
+        self.kf_pre.pop(k, None)
+        self.change_index += 1
+
+    def apply_scaled_rotation(self, Rgw: np.ndarray, s: float,
+                              scale_velocities: bool = True):
+        """Re-gauge the whole map: new world w' = s * Rgw * w (reference
+        `Map::ApplyScaledRotation`, Map.h:118 / Map.cc — called after IMU
+        initialization to align gravity with -z and fix monocular scale).
+
+        Camera poses transform as Rcw' = Rcw Rgw^T, tcw' = s * tcw, so that
+        camera-frame coordinates scale uniformly: x_c' = s * x_c.
+        """
+        Rgw = np.asarray(Rgw, np.float32)
+        ks = self.keyframe_ids()
+        self.kf_R[ks] = self.kf_R[ks] @ Rgw.T
+        self.kf_t[ks] = s * self.kf_t[ks]
+        if scale_velocities:
+            self.kf_vel[ks] = s * (self.kf_vel[ks] @ Rgw.T)
+        live = self.mp_valid
+        self.mp_pos[live] = s * (self.mp_pos[live] @ Rgw.T)
+        self.mp_min_dist[live] *= s
+        self.mp_max_dist[live] *= s
         self.change_index += 1
 
     # -- map points ----------------------------------------------------------
