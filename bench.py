@@ -11,10 +11,18 @@ vs_baseline > 1 means faster than the reference baseline.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 import jax
+
+# Persistent compilation cache: the frontend program is large (pyramid atlas
+# + matcher + pose GN); first compile is minutes, cached runs are instant.
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 BASELINE_MS = 30.0  # reference tracking ms/frame midpoint (i7, BASELINE.md)

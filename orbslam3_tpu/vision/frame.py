@@ -66,36 +66,69 @@ def extract_features(
     ini_th: float = fast_k.INI_TH,
     min_th: float = fast_k.MIN_TH,
 ) -> FrameFeatures:
-    """Full ORB extraction. One compiled program per image shape."""
-    quotas = level_quotas(n_features, n_levels, scale)
-    pyr = image_k.build_pyramid(img, n_levels, scale)
+    """Full ORB extraction. One compiled program per image shape.
 
-    uvs, uvs_raw, resps, angs, octs, descs, valids = [], [], [], [], [], [], []
-    for lvl, (lvl_img, quota) in enumerate(zip(pyr, quotas)):
+    TPU-first structure ("pyramid atlas"): all levels are packed into one
+    image with zero-row gaps (kernels/image.py:build_atlas), so FAST, NMS,
+    orientation moments and Gaussian blur each run ONCE over a single big
+    tensor instead of once per level, and orientation + BRIEF for ALL levels'
+    keypoints happen in one batched pass. The ATLAS_MARGIN keep-out mirrors
+    the reference's EDGE_THRESHOLD=19 border (src/ORBextractor.cc) and also
+    guarantees no patch/blur read crosses a level seam.
+    """
+    h, w = img.shape
+    quotas = level_quotas(n_features, n_levels, scale)
+    rows, ah, aw = image_k.atlas_layout(h, w, n_levels, scale)
+    margin = image_k.ATLAS_MARGIN
+
+    atlas = image_k.build_atlas(img, n_levels, scale)
+    score = fast_k.detect(atlas, ini_th, min_th)
+
+    ys_parts, xs_parts, uvs, resps, octs, valids = [], [], [], [], [], []
+    for lvl, ((y0, lh, lw), quota) in enumerate(zip(rows, quotas)):
         if quota <= 0:
             continue
-        score = fast_k.detect(lvl_img, ini_th, min_th)
-        ys, xs, resp, valid = fast_k.select_uniform(score, quota, cell=cell)
-        ang = desc_k.keypoint_angles(lvl_img, ys, xs)
-        blurred = image_k.gaussian_blur(lvl_img)
-        d = desc_k.brief_descriptors(blurred, ys, xs, ang)
+        s_lvl = jax.lax.slice(score, (y0, 0), (y0 + lh, lw))
+        yy = jnp.arange(lh)[:, None]
+        xx = jnp.arange(lw)[None, :]
+        interior = (
+            (yy >= margin) & (yy < lh - margin)
+            & (xx >= margin) & (xx < lw - margin)
+        )
+        s_lvl = jnp.where(interior, s_lvl, 0.0)
+        ys, xs, resp, valid = fast_k.select_uniform(s_lvl, quota, cell=cell)
         s = scale ** lvl
-        uv = jnp.stack([xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], axis=-1)
-        uvs.append(uv)
-        uvs_raw.append(uv)
+        uvs.append(jnp.stack(
+            [xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], axis=-1))
+        ys_parts.append(ys + y0)  # atlas coords
+        xs_parts.append(xs)
         resps.append(resp)
-        angs.append(ang)
         octs.append(jnp.full((quota,), lvl, jnp.int32))
-        descs.append(d)
         valids.append(valid)
 
+    ys_a = jnp.concatenate(ys_parts)
+    xs_a = jnp.concatenate(xs_parts)
+    uv = jnp.concatenate(uvs)
+
+    # orientation for all keypoints: dense moment maps + tiny gathers
+    m10, m01 = desc_k.orientation_maps(atlas)
+    flat_idx = ys_a * aw + xs_a
+    ang = jnp.arctan2(
+        jnp.take(m01.reshape(-1), flat_idx),
+        jnp.take(m10.reshape(-1), flat_idx),
+    )
+
+    # descriptors for all keypoints in one batched MXU pass
+    blurred = image_k.gaussian_blur(atlas)
+    desc = desc_k.brief_descriptors(blurred, ys_a, xs_a, ang)
+
     return FrameFeatures(
-        uv=jnp.concatenate(uvs),
-        uv_raw=jnp.concatenate(uvs_raw),
+        uv=uv,
+        uv_raw=uv,
         response=jnp.concatenate(resps),
-        angle=jnp.concatenate(angs),
+        angle=ang,
         octave=jnp.concatenate(octs),
-        desc=jnp.concatenate(descs),
+        desc=desc,
         valid=jnp.concatenate(valids),
     )
 
