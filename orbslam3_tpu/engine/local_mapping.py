@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from orbslam3_tpu.core import lie, robust
+from orbslam3_tpu.imu import preintegration as preint
 from orbslam3_tpu.kernels import orb_descriptor as desc_k
 from orbslam3_tpu.opt.ba import BAProblem, bundle_adjust
 from orbslam3_tpu.slam_map.map_state import MapState
@@ -44,6 +45,8 @@ class LocalMapperConfig:
     viba1_after_s: float = 5.0
     viba2_after_s: float = 15.0
     inertial_window_kfs: int = 10     # LocalInertialBA temporal window
+    post_init_viba_iters: int = 24    # one-shot full VI-BA after each rung
+                                      # (reference FullInertialBA(100))
 
 
 class LocalMapper:
@@ -107,18 +110,25 @@ class LocalMapper:
                                           prior_gyro=1e2, prior_acc=1e10)
             if out is not None:
                 self._t_imu_init = now
+                # one-shot post-init full VI-BA gets a real convergence
+                # budget (reference FullInertialBA(100 its),
+                # LocalMapping.cc:1308-1314)
                 imu_init.full_inertial_ba(m, self.imu_calib, self.camera,
-                                          n_iters=self.cfg.ba_iters)
+                                          n_iters=cfg.post_init_viba_iters)
             return
         elapsed = now - (self._t_imu_init if self._t_imu_init is not None else now)
         if m.iba_stage == 0 and elapsed > cfg.viba1_after_s:
             if imu_init.initialize_imu(m, self.imu_calib, prior_gyro=1.0,
                                        prior_acc=1e5) is not None:
                 m.iba_stage = 1
+                imu_init.full_inertial_ba(m, self.imu_calib, self.camera,
+                                          n_iters=cfg.post_init_viba_iters)
         elif m.iba_stage == 1 and elapsed > cfg.viba2_after_s:
             if imu_init.initialize_imu(m, self.imu_calib, prior_gyro=0.0,
                                        prior_acc=0.0) is not None:
                 m.iba_stage = 2
+                imu_init.full_inertial_ba(m, self.imu_calib, self.camera,
+                                          n_iters=cfg.post_init_viba_iters)
 
     # --------------------------------------------------------------- culling
     def _cull_map_points(self):
@@ -178,7 +188,29 @@ class LocalMapper:
                 if (other & finer).sum() >= 3:
                     n_redundant += 1
             if n_redundant / len(slots) > self.cfg.kf_cull_redundancy:
-                nxt = np.nonzero(m.kf_prev == kf)[0]
+                nxt = np.nonzero(m.kf_valid & (m.kf_prev == kf))[0]
+                if self.imu_calib is not None:
+                    # inertial culling gates (reference KeyFrameCulling,
+                    # LocalMapping.cc:1030 region): never cull before the map
+                    # survives VIBA2, and never leave a preintegration gap
+                    # longer than 3 s in the temporal chain
+                    if m.iba_stage < 2:
+                        continue
+                    prev = int(m.kf_prev[kf])
+                    if prev >= 0 and len(nxt) and any(
+                        float(m.kf_ts[int(nk)] - m.kf_ts[prev]) >= 3.0
+                        for nk in nxt
+                    ):
+                        continue
+                    # merge this KF's preintegration into each successor so
+                    # the inertial edge prev->successor stays contiguous
+                    # (reference Preintegrated::MergePrevious)
+                    pre_kf = m.kf_pre.get(kf)
+                    for nk in nxt:
+                        nk = int(nk)
+                        pre_nk = m.kf_pre.get(nk)
+                        if pre_kf is not None and pre_nk is not None:
+                            m.kf_pre[nk] = preint.merge(pre_kf, pre_nk)
                 for nk in nxt:
                     m.kf_prev[nk] = m.kf_prev[kf]
                 m.remove_keyframe(kf)

@@ -478,12 +478,16 @@ class Tracker:
         self._vel_R = (R1 @ self.R_cw.T).astype(np.float32)
         self._vel_t = (t1 - self._vel_R @ self.t_cw).astype(np.float32)
         self.R_cw, self.t_cw = R1.astype(np.float32), t1.astype(np.float32)
-        # body-velocity update for IMU propagation
+        # body-velocity update for IMU propagation: keep the IMU-propagated
+        # velocity when prediction succeeded (the reference carries the
+        # optimized/propagated mVw through PredictStateIMU/UpdateFrameIMU);
+        # frame-to-frame finite differencing is noisier, so it is only the
+        # fallback when no preintegration was available this frame.
         if self.imu_calib is not None and self._last_ts is not None:
-            dt = ts - self._last_ts
             if pred_v is not None:
-                self._vel_w = pred_v  # IMU-propagated seed, then corrected:
-            self._update_velocity(R_prev, t_prev, dt)
+                self._vel_w = np.asarray(pred_v, np.float32)
+            else:
+                self._update_velocity(R_prev, t_prev, ts - self._last_ts)
         self._last_feats = feats
         self._last_mp_ids = mp_ids
         self.n_inliers = n_in

@@ -32,23 +32,50 @@ def temporal_chain(m: MapState) -> list[int]:
 
 
 def chain_with_preint(m: MapState) -> tuple[list[int], list]:
-    """Longest suffix-consistent chain where every consecutive pair has a
-    stored preintegration on the later keyframe. Returns (kfs, pres) with
-    len(pres) == len(kfs) - 1."""
-    chain = temporal_chain(m)
-    kfs, pres = [], []
-    for k in chain:
-        if not kfs:
-            kfs.append(k)
-            continue
-        pre = m.kf_pre.get(k)
-        if pre is None:
-            # break in the IMU chain: restart from this keyframe
-            kfs, pres = [k], []
-            continue
-        kfs.append(k)
-        pres.append(pre)
-    return kfs, pres
+    """Longest contiguous inertial chain. Returns (kfs, pres) with
+    len(pres) == len(kfs) - 1.
+
+    Walks the explicit `kf_prev` links (the reference's mPrevKF chain,
+    KeyFrame.h temporal chain) rather than sorting all keyframes by
+    timestamp: with multiple tracking lanes on a shared map, interleaved
+    keyframes from different lanes are NOT spanned by each other's
+    preintegration, so a global timestamp sort would pair preintegration
+    edges with the wrong intervals. A chain link k is usable only when k
+    carries a preintegration (kf_pre[k] spans kf_prev[k] -> k)."""
+    ks = m.keyframe_ids()
+    valid = set(int(k) for k in ks)
+    # heads: keyframes whose predecessor is absent/culled/never set
+    chains: list[list[int]] = []
+    succ: dict[int, list[int]] = {}
+    heads = []
+    for k in valid:
+        p = int(m.kf_prev[k])
+        if p in valid:
+            succ.setdefault(p, []).append(k)
+        if p not in valid or m.kf_pre.get(k) is None:
+            # chain start: no live predecessor, or the preintegration that
+            # would span the incoming link is missing (chain break)
+            heads.append(k)
+    for h in heads:
+        chain = [h]
+        cur = h
+        while True:
+            nxts = sorted(succ.get(cur, []), key=lambda j: m.kf_ts[j])
+            nxt = None
+            for cand in nxts:
+                if m.kf_pre.get(cand) is not None:
+                    nxt = cand
+                    break
+            if nxt is None:
+                break
+            chain.append(nxt)
+            cur = nxt
+        chains.append(chain)
+    if not chains:
+        return [], []
+    best = max(chains, key=len)
+    pres = [m.kf_pre[k] for k in best[1:]]
+    return best, pres
 
 
 def cam_from_body(calib: ImuCalib):
@@ -107,15 +134,16 @@ def initialize_imu(
 
     Rgw = np.asarray(init.Rwg).T  # new world: gravity along -z
     if regauge:
-        if m.imu_initialized:
-            # later rungs only correct residual scale drift; gravity is
-            # already aligned (reference re-applies only when |s-1| matters)
-            if abs(s - 1.0) > 1e-5:
-                m.apply_scaled_rotation(np.eye(3, dtype=np.float32), s)
-        else:
+        # rotation angle of the residual gravity correction
+        ang = float(np.arccos(np.clip((np.trace(Rgw) - 1.0) / 2.0, -1.0, 1.0)))
+        if (not m.imu_initialized) or abs(s - 1.0) > 1e-5 or ang > 1e-3:
+            # later rungs re-apply the FULL gravity-direction correction too
+            # (reference ApplyScaledRotation(Twg, scale) whenever it corrects,
+            # LocalMapping.cc:1285-1289) — not just the scale; otherwise
+            # residual gravity misalignment after the first init is never
+            # fixed and VI-BA's -z gravity assumption is silently violated.
             m.apply_scaled_rotation(Rgw, s)
-        v_new = s * (np.asarray(init.v) @ (Rgw.T if not m.imu_initialized
-                                           else np.eye(3, dtype=np.float32)))
+        v_new = s * (np.asarray(init.v) @ Rgw.T)
         m.kf_vel[kfs] = v_new.astype(np.float32)
         m.kf_bias[kfs] = np.asarray(init.bias, np.float32)
         m.imu_initialized = True

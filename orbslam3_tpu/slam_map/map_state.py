@@ -245,18 +245,3 @@ class MapState:
         keep = sel[mp]
         return kk[keep], slots[keep], mp[keep]
 
-    # -- gauge re-scaling (reference Map::ApplyScaledRotation) ---------------
-    def apply_scaled_rotation(self, Rgw: np.ndarray, scale: float,
-                              scale_velocities: bool = True):
-        """Re-gauge the whole map: x' = scale * Rgw x (+ pose chain update),
-        used after IMU initialization (src/Map.cc ApplyScaledRotation,
-        called from LocalMapping::InitializeIMU at LocalMapping.cc:1283-1299).
-        Poses are Tcw: R_cw' = R_cw Rgw^T ; t_cw' = scale * t_cw.
-        """
-        ks = self.kf_valid
-        self.kf_R[ks] = self.kf_R[ks] @ Rgw.T[None]
-        self.kf_t[ks] = self.kf_t[ks] * scale
-        self.mp_pos[self.mp_valid] = scale * (self.mp_pos[self.mp_valid] @ Rgw.T)
-        if scale_velocities:
-            self.kf_vel[ks] = scale * (self.kf_vel[ks] @ Rgw.T)
-        self.change_index += 1

@@ -176,3 +176,111 @@ def imu_orbit_samples(R_cw, t_cw, ts, rate=200.0, g=9.81, seed=0,
         out.append((acc.astype(np.float32), gyr.astype(np.float32),
                     dt_s.astype(np.float32)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact IMU simulation (float64 fine integration of analytic body rates)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ImuTrajectory:
+    """Ground-truth body trajectory + IMU samples from analytic body rates.
+
+    States are at the IMU sample times: R_wb[k] etc. correspond to t[k].
+    Samples (gyro/acc/dt) are per interval [t[k], t[k+1]] evaluated at the
+    interval midpoint (the convention `preintegrate` integrates with).
+    """
+
+    t: np.ndarray       # (K+1,) sample times
+    R_wb: np.ndarray    # (K+1,3,3) body->world rotations
+    p_wb: np.ndarray    # (K+1,3) body positions (world)
+    v_wb: np.ndarray    # (K+1,3) body velocities (world)
+    gyro: np.ndarray    # (K,3) measured angular rate (body) incl. bias
+    acc: np.ndarray     # (K,3) measured specific force (body) incl. bias
+    dt: np.ndarray      # (K,)
+
+    def gt_deltas(self, i: int, j: int, g=9.81):
+        """Reference preintegration deltas between sample times i < j:
+        dR = Ri^T Rj; dV = Ri^T (vj - vi - g dT); dP = Ri^T (pj - pi - vi dT
+        - 0.5 g dT^2) — the quantities `Preintegrated` estimates."""
+        g_w = np.array([0.0, 0.0, -g])
+        dT = self.t[j] - self.t[i]
+        Ri = self.R_wb[i]
+        dR = Ri.T @ self.R_wb[j]
+        dV = Ri.T @ (self.v_wb[j] - self.v_wb[i] - g_w * dT)
+        dP = Ri.T @ (self.p_wb[j] - self.p_wb[i] - self.v_wb[i] * dT
+                     - 0.5 * g_w * dT * dT)
+        return dR, dV, dP, dT
+
+
+def simulate_imu(duration=2.0, rate=200.0, substeps=40, seed=0, g=9.81,
+                 gyro_bias=(0.0, 0.0, 0.0), acc_bias=(0.0, 0.0, 0.0),
+                 gyro_noise=0.0, acc_noise=0.0,
+                 w_scale=0.6, f_scale=1.2) -> ImuTrajectory:
+    """Integrate smooth analytic body rates in float64.
+
+    w_b(t), f_b(t) are sums of incommensurate sinusoids (seeded); f_b is the
+    SPECIFIC FORCE in the body frame (what an accelerometer measures), so the
+    world acceleration is a_w = R_wb f_b + g_w.
+    """
+    rng = np.random.default_rng(seed)
+    aw = rng.uniform(0.5, 2.0, (3, 2))
+    ph = rng.uniform(0, 2 * np.pi, (3, 4))
+
+    def w_fn(t):
+        return w_scale * np.array([
+            np.sin(aw[0, 0] * t + ph[0, 0]) + 0.5 * np.cos(aw[0, 1] * t + ph[0, 1]),
+            np.sin(aw[1, 0] * t + ph[1, 0]) + 0.5 * np.cos(aw[1, 1] * t + ph[1, 1]),
+            np.sin(aw[2, 0] * t + ph[2, 0]),
+        ])
+
+    def f_fn(t):
+        return f_scale * np.array([
+            np.sin(aw[0, 1] * t + ph[0, 2]),
+            np.cos(aw[1, 1] * t + ph[1, 2]),
+            np.sin(aw[2, 1] * t + ph[2, 3]),
+        ]) + np.array([0.0, 0.0, g])  # roughly gravity-supporting
+
+    from scipy.spatial.transform import Rotation as _Rot
+
+    K = int(round(duration * rate))
+    h = 1.0 / (rate * substeps)
+    g_w = np.array([0.0, 0.0, -g])
+    R = np.eye(3)
+    p = np.zeros(3)
+    v = np.zeros(3)
+    t_cur = 0.0
+    states_t = [0.0]
+    states_R = [R.copy()]
+    states_p = [p.copy()]
+    states_v = [v.copy()]
+    gyro_s, acc_s, dt_s = [], [], []
+    bg = np.asarray(gyro_bias, np.float64)
+    ba = np.asarray(acc_bias, np.float64)
+    for k in range(K):
+        t_mid_sample = t_cur + 0.5 / rate
+        gyro_s.append(w_fn(t_mid_sample) + bg
+                      + rng.normal(scale=gyro_noise, size=3))
+        acc_s.append(f_fn(t_mid_sample) + ba
+                     + rng.normal(scale=acc_noise, size=3))
+        dt_s.append(1.0 / rate)
+        for _ in range(substeps):
+            tm = t_cur + 0.5 * h
+            w = w_fn(tm)
+            f = f_fn(tm)
+            R_mid = R @ _Rot.from_rotvec(w * 0.5 * h).as_matrix()
+            a_w = R_mid @ f + g_w
+            p = p + v * h + 0.5 * a_w * h * h
+            v = v + a_w * h
+            R = R @ _Rot.from_rotvec(w * h).as_matrix()
+            t_cur += h
+        states_t.append(t_cur)
+        states_R.append(R.copy())
+        states_p.append(p.copy())
+        states_v.append(v.copy())
+    return ImuTrajectory(
+        t=np.asarray(states_t), R_wb=np.asarray(states_R),
+        p_wb=np.asarray(states_p), v_wb=np.asarray(states_v),
+        gyro=np.asarray(gyro_s), acc=np.asarray(acc_s), dt=np.asarray(dt_s),
+    )
