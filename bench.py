@@ -31,11 +31,12 @@ BASELINE_MS = 30.0  # reference tracking ms/frame midpoint (i7, BASELINE.md)
 def main():
     import __graft_entry__
 
-    fn, (img, R0, t0) = __graft_entry__.entry()
+    fn, args = __graft_entry__.entry()
+    img, rest = args[0], args[1:]
     step = jax.jit(fn)
 
     # warmup / compile
-    out = step(img, R0, t0)
+    out = step(img, *rest)
     jax.block_until_ready(out)
 
     # steady-state: feed fresh frames (new pixel content, same shapes)
@@ -45,7 +46,7 @@ def main():
     n_iters = 50
     t_start = time.perf_counter()
     for i in range(n_iters):
-        out = step(frames[i % len(frames)], R0, t0)
+        out = step(frames[i % len(frames)], *rest)
     jax.block_until_ready(out)
     elapsed = time.perf_counter() - t_start
     ms = elapsed / n_iters * 1e3

@@ -109,61 +109,99 @@ def keypoint_angles(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
 
 
 PATCH_R = 16  # patch half-size: rotated pattern radius <= 13*1 + rounding < 16
+N_ANGLE_BINS = 64  # rotated-pattern bins; adjacent bins are angle-interpolated
 
 
-@jax.jit
+def _bin_weight_matrix() -> np.ndarray:
+    """(1024, N_BINS*256) constant: column (b*256+k) holds the +1/-1 one-hot
+    difference onehot(p2_rot(b)) - onehot(p1_rot(b)) of BRIEF pair k rotated
+    by bin angle b, over the flattened 32x32 patch. One MXU matmul of the
+    patch against this matrix yields the sample differences for ALL bins."""
+    pat = _make_pattern()
+    PR = PATCH_R
+    W = np.zeros((N_ANGLE_BINS, 4 * PR * PR, N_BITS), np.float32)
+    for b in range(N_ANGLE_BINS):
+        a = 2 * np.pi * b / N_ANGLE_BINS
+        ca, sa = np.cos(a), np.sin(a)
+        for sgn, yy, xx in ((-1.0, pat[:, 0], pat[:, 1]),
+                            (1.0, pat[:, 2], pat[:, 3])):
+            ry = np.clip(np.round(sa * xx + ca * yy), -PR, PR - 1).astype(np.int64)
+            rx = np.clip(np.round(ca * xx - sa * yy), -PR, PR - 1).astype(np.int64)
+            lin = (ry + PR) * (2 * PR) + (rx + PR)
+            for k in range(N_BITS):
+                W[b, lin[k], k] += sgn
+    return W.transpose(1, 0, 2).reshape(4 * PR * PR, N_ANGLE_BINS * N_BITS)
+
+
+_WBIN_CACHE: jax.Array | None = None
+
+
+def brief_weight_matrix() -> jax.Array:
+    """Device-resident (1024, 64*256) bf16 pattern matrix.
+
+    IMPORTANT: this ~33 MB array must be passed to jitted functions as an
+    ARGUMENT, never closed over — XLA inlines closed-over device arrays as
+    literal constants, and constants of this size make TPU compilation
+    pathologically slow (measured: >4 min for a single matmul)."""
+    global _WBIN_CACHE
+    if _WBIN_CACHE is None:
+        _WBIN_CACHE = jnp.asarray(_bin_weight_matrix(), jnp.bfloat16)
+    return _WBIN_CACHE
+
+
 def brief_descriptors(
     blurred: jax.Array,  # (H, W) Gaussian-blurred level image
     ys: jax.Array,  # (N,) int keypoint rows
     xs: jax.Array,  # (N,) int keypoint cols
     angles: jax.Array,  # (N,) radians
+    wbin: jax.Array | None = None,  # brief_weight_matrix(); threaded, not closed over
 ) -> jax.Array:
     """Steered BRIEF: (N, 8) uint32 packed 256-bit descriptors.
 
-    Pair endpoints rotate by the exact keypoint angle with nearest-neighbor
-    sampling (like the reference's cvRound pattern sampling,
-    src/ORBextractor.cc computeOrbDescriptor), but the TPU path avoids
-    scalar gathers entirely:
-      1. a 32-row strip per keypoint is fetched with one contiguous row-take,
-      2. the 32x32 patch is cut out with a per-keypoint column one-hot matmul
-         (MXU),
-      3. all 512 rotated sample positions are read with two more one-hot
-         matmuls P[ry, rx] = sum_rc P[r,c] * YOH[k,r] * XOH[k,c] (MXU).
-    3.5x faster than the XLA gather path at 1k keypoints and bit-identical
-    up to bf16 sampling ties (~0.1% of bits).
+    Reference behavior: rotate the 256 test pairs by the keypoint angle and
+    compare blurred-image samples (src/ORBextractor.cc computeOrbDescriptor).
+    TPU-first structure — no scalar gathers, no per-keypoint matmuls (both
+    are slow to run and/or pathological to compile on TPU):
+      1. the 32x32 patch around each keypoint is fetched as 32 CONTIGUOUS
+         32-float segments from the flattened image (one sliced gather);
+      2. ONE large MXU matmul (N,1024)@(1024, 64*256) against a constant
+         +/-1 pattern matrix yields each pair's sample difference under all
+         64 rotation bins at once;
+      3. the two bins bracketing the exact angle are blended linearly —
+         angular interpolation of the blurred samples, accurate to second
+         order in the 5.6 deg bin width. bits = (interpolated diff > 0).
     """
+    if wbin is None:
+        wbin = brief_weight_matrix()
+    return _brief_impl(blurred, ys, xs, angles, wbin)
+
+
+@jax.jit
+def _brief_impl(blurred, ys, xs, angles, wbin):
     h, w = blurred.shape
     n = ys.shape[0]
     PR = PATCH_R
-    # 1. row strips: (n*32,) contiguous row gather -> (n, 32, w)
-    rows_idx = jnp.clip(
-        (ys[:, None] + jnp.arange(-PR, PR)[None, :]).reshape(-1), 0, h - 1
-    )
-    strips = jnp.take(blurred, rows_idx, axis=0).reshape(n, 2 * PR, w)
-    # 2. column cut via one-hot matmul: (n, 32, 32) patches
-    cols = jnp.clip(xs[:, None] + jnp.arange(-PR, PR)[None, :], 0, w - 1)
-    col_oh = (cols[:, None, :] == jnp.arange(w)[None, :, None]).astype(jnp.bfloat16)
-    patch = jnp.einsum(
-        "nrw,nwc->nrc", strips.astype(jnp.bfloat16), col_oh,
-        preferred_element_type=jnp.float32,
-    )
-    # 3. rotated in-patch sampling via separable one-hot matmuls
-    ca, sa = jnp.cos(angles), jnp.sin(angles)
-    p = PATTERN
-    yy = jnp.concatenate([p[:, 0], p[:, 2]])  # (512,) endpoint rows
-    xx = jnp.concatenate([p[:, 1], p[:, 3]])
-    ry = jnp.round(sa[:, None] * xx[None, :] + ca[:, None] * yy[None, :])
-    rx = jnp.round(ca[:, None] * xx[None, :] - sa[:, None] * yy[None, :])
-    iy = jnp.clip(ry.astype(jnp.int32) + PR, 0, 2 * PR - 1)  # (n, 512)
-    ix = jnp.clip(rx.astype(jnp.int32) + PR, 0, 2 * PR - 1)
-    yoh = (iy[:, :, None] == jnp.arange(2 * PR)[None, None, :]).astype(jnp.bfloat16)
-    xoh = (ix[:, :, None] == jnp.arange(2 * PR)[None, None, :]).astype(jnp.bfloat16)
-    tmp = jnp.einsum(
-        "nkr,nrc->nkc", yoh, patch.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    v = jnp.sum(tmp * xoh.astype(jnp.float32), axis=2)  # (n, 512)
-    bits = (v[:, :N_BITS] < v[:, N_BITS:]).astype(jnp.uint32)
+    flat = blurred.reshape(-1)
+    # 1. patch rows as contiguous segments of the flattened image
+    row0 = jnp.clip(ys[:, None] + jnp.arange(-PR, PR)[None, :], 0, h - 1)
+    col0 = jnp.clip(xs[:, None] - PR, 0, w - 2 * PR)  # segment stays in-row
+    starts = (row0 * w + col0).reshape(-1)  # (n*32,)
+    seg = jax.vmap(lambda s: jax.lax.dynamic_slice(flat, (s,), (2 * PR,)))(starts)
+    pf = seg.reshape(n, 4 * PR * PR).astype(jnp.bfloat16)
+    # 2. all-bins pair differences in one matmul
+    diffs = jnp.dot(pf, wbin, preferred_element_type=jnp.float32)
+    diffs = diffs.reshape(n, N_ANGLE_BINS, N_BITS)
+    # 3. angular interpolation between the two bracketing bins
+    tau = 2.0 * np.pi
+    bpos = (angles / tau) * N_ANGLE_BINS
+    b0 = jnp.floor(bpos).astype(jnp.int32) % N_ANGLE_BINS
+    frac = (bpos - jnp.floor(bpos)).astype(diffs.dtype)
+    b1 = (b0 + 1) % N_ANGLE_BINS
+    bins = jnp.arange(N_ANGLE_BINS, dtype=jnp.int32)[None, :]
+    wgt = ((bins == b0[:, None]) * (1.0 - frac[:, None])
+           + (bins == b1[:, None]) * frac[:, None])  # (n, 64)
+    v = jnp.sum(diffs * wgt[:, :, None], axis=1)  # (n, 256)
+    bits = (v > 0).astype(jnp.uint32)
     return pack_bits(bits)
 
 

@@ -53,12 +53,31 @@ def level_quotas(n_features: int, n_levels: int, scale: float) -> Sequence[int]:
     return quotas
 
 
+def extract_features(
+    img: jax.Array,  # (H, W) float32 grayscale in [0, 255]
+    n_features: int = 1000,
+    n_levels: int = image_k.DEFAULT_LEVELS,
+    scale: float = image_k.DEFAULT_SCALE,
+    cell: int = 32,
+    ini_th: float = fast_k.INI_TH,
+    min_th: float = fast_k.MIN_TH,
+    wbin: jax.Array | None = None,
+) -> FrameFeatures:
+    """Public entry: threads the (large) BRIEF pattern matrix as an argument
+    so it never becomes an inline XLA constant (see brief_weight_matrix)."""
+    if wbin is None:
+        wbin = desc_k.brief_weight_matrix()
+    return _extract_features_impl(img, wbin, n_features, n_levels, scale,
+                                  cell, ini_th, min_th)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_features", "n_levels", "scale", "cell", "ini_th", "min_th"),
 )
-def extract_features(
-    img: jax.Array,  # (H, W) float32 grayscale in [0, 255]
+def _extract_features_impl(
+    img: jax.Array,
+    wbin: jax.Array,
     n_features: int = 1000,
     n_levels: int = image_k.DEFAULT_LEVELS,
     scale: float = image_k.DEFAULT_SCALE,
@@ -120,7 +139,7 @@ def extract_features(
 
     # descriptors for all keypoints in one batched MXU pass
     blurred = image_k.gaussian_blur(atlas)
-    desc = desc_k.brief_descriptors(blurred, ys_a, xs_a, ang)
+    desc = desc_k.brief_descriptors(blurred, ys_a, xs_a, ang, wbin)
 
     return FrameFeatures(
         uv=uv,
