@@ -178,6 +178,15 @@ class Settings:
         return Camera.pinhole(fx, fy, cx, cy, dist=tuple(dist),
                               width=w, height=h)
 
+    def imu_calib(self):
+        """Device ImuCalib from the yaml IMU block (reference
+        `Settings::readIMU`, src/Settings.cc)."""
+        from .imu.preintegration import ImuCalib
+        return ImuCalib.create(
+            Tbc=self.imu.T_b_c1, noise_gyro=self.imu.noise_gyro,
+            noise_acc=self.imu.noise_acc, walk_gyro=self.imu.gyro_walk,
+            walk_acc=self.imu.acc_walk, freq=self.imu.frequency)
+
     def system_config(self, map_cfg=None):
         from .engine.system import Sensor, SystemConfig
         from .engine.tracking import TrackerConfig

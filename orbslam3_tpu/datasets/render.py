@@ -1,0 +1,112 @@
+"""Textured-box scene renderer: geometrically exact synthetic images.
+
+Renders the interior of an axis-aligned textured box along a known camera
+trajectory by per-pixel ray/plane intersection + bilinear texture sampling —
+multi-view-consistent images with dense FAST-friendly texture, so the FULL
+image pipeline (pyramid -> FAST -> BRIEF -> matching -> BA) runs on data with
+exact ground truth. Stands in for real EuRoC imagery in tests (the real
+dataset cannot ship with the repo; the loaders in `euroc.py` read the real
+thing when present).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def make_texture(size: int = 1024, seed: int = 0, n_blobs: int = 350):
+    """High-contrast corner-rich texture: multi-scale smoothed noise plus
+    random dark/bright axis-aligned squares (strong FAST responses)."""
+    import cv2
+    rng = np.random.default_rng(seed)
+    tex = np.zeros((size, size), np.float32)
+    for scale, amp in ((8, 40.0), (32, 30.0), (128, 25.0)):
+        small = rng.uniform(-1, 1, (scale, scale)).astype(np.float32)
+        tex += amp * cv2.resize(small, (size, size),
+                                interpolation=cv2.INTER_CUBIC)
+    tex += 128.0
+    # each blob gets its OWN random interior pattern: identical flat squares
+    # would create repeated-texture descriptor ambiguity far beyond real
+    # imagery and systematically corrupt data association
+    for _ in range(n_blobs):
+        s = int(rng.integers(8, 28))
+        x = int(rng.integers(0, size - s))
+        y = int(rng.integers(0, size - s))
+        cells = int(rng.integers(2, 5))
+        patch = rng.uniform(0, 255, (cells, cells)).astype(np.float32)
+        patch = cv2.resize(patch, (s, s), interpolation=cv2.INTER_NEAREST)
+        tex[y:y + s, x:x + s] = 0.3 * tex[y:y + s, x:x + s] + 0.7 * patch
+    return np.clip(tex, 0, 255).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class BoxScene:
+    """Axis-aligned box interior: 6 textured faces.
+
+    Face k is the plane axis[k] = value[k]; texture coordinates are the two
+    remaining axes scaled to the face extent.
+    """
+
+    lo: np.ndarray            # (3,) box min corner
+    hi: np.ndarray            # (3,) box max corner
+    textures: list            # 6 uint8 (S,S) textures, faces [x-,x+,y-,y+,z-,z+]
+
+    @staticmethod
+    def default(seed: int = 0, box=((-8, 8), (-5, 5), (-4, 14)),
+                tex_size: int = 1024) -> "BoxScene":
+        lo = np.array([b[0] for b in box], np.float64)
+        hi = np.array([b[1] for b in box], np.float64)
+        textures = [make_texture(tex_size, seed=seed * 13 + f) for f in range(6)]
+        return BoxScene(lo, hi, textures)
+
+    def render(self, K: np.ndarray, R_cw: np.ndarray, t_cw: np.ndarray,
+               width: int, height: int, noise_std: float = 1.5,
+               seed: int = 0) -> np.ndarray:
+        """Grayscale uint8 (height, width) view from camera (R_cw, t_cw)."""
+        import cv2
+        rng = np.random.default_rng(seed)
+        # pixel rays in world frame; pixel centers at integer coordinates
+        # (OpenCV convention, matching the extractor's keypoint coordinates)
+        u, v = np.meshgrid(np.arange(width, dtype=np.float64),
+                           np.arange(height, dtype=np.float64))
+        d_c = np.stack([(u - K[0, 2]) / K[0, 0],
+                        (v - K[1, 2]) / K[1, 1],
+                        np.ones_like(u)], axis=-1)          # (H,W,3)
+        R_wc = R_cw.T
+        o = -R_wc @ t_cw                                     # camera center
+        d_w = d_c @ R_wc.T                                   # (H,W,3)
+
+        best_t = np.full((height, width), np.inf)
+        out = np.zeros((height, width), np.float32)
+        faces = [(a, val, f) for f, (a, val) in enumerate(
+            [(0, self.lo[0]), (0, self.hi[0]),
+             (1, self.lo[1]), (1, self.hi[1]),
+             (2, self.lo[2]), (2, self.hi[2])])]
+        for axis, val, f in faces:
+            denom = d_w[..., axis]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = (val - o[axis]) / denom
+            hitp = o[None, None, :] + t[..., None] * d_w     # (H,W,3)
+            a1, a2 = [a for a in range(3) if a != axis]
+            eps = 1e-6
+            ok = (np.abs(denom) > 1e-12) & (t > 1e-3) & (t < best_t)
+            ok &= (hitp[..., a1] >= self.lo[a1] - eps)
+            ok &= (hitp[..., a1] <= self.hi[a1] + eps)
+            ok &= (hitp[..., a2] >= self.lo[a2] - eps)
+            ok &= (hitp[..., a2] <= self.hi[a2] + eps)
+            if not ok.any():
+                continue
+            tex = self.textures[f]
+            S = tex.shape[0]
+            tu = (hitp[..., a1] - self.lo[a1]) / (self.hi[a1] - self.lo[a1])
+            tv = (hitp[..., a2] - self.lo[a2]) / (self.hi[a2] - self.lo[a2])
+            mx = np.clip(tu * (S - 1), 0, S - 1.001).astype(np.float32)
+            my = np.clip(tv * (S - 1), 0, S - 1.001).astype(np.float32)
+            samp = cv2.remap(tex, mx, my, cv2.INTER_LINEAR)
+            out = np.where(ok, samp.astype(np.float32), out)
+            best_t = np.where(ok, t, best_t)
+        if noise_std > 0:
+            out = out + rng.normal(0, noise_std, out.shape)
+        return np.clip(out, 0, 255).astype(np.uint8)

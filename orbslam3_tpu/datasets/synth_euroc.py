@@ -1,0 +1,148 @@
+"""Synthetic EuRoC-format sequence generator.
+
+Writes a fully ASL-layout dataset (cam0 pngs + data.csv, imu0/data.csv,
+state_groundtruth_estimate0/data.csv, config yaml) rendered from the textured
+box scene, so the *real-data* code path — directory loader, png decode, IMU
+csv windowing, yaml config, full image frontend — is exercised end-to-end
+with exact ground truth. Same layout the reference mains consume
+(`/root/reference/Examples/Monocular-Inertial/mono_inertial_euroc.cc:124-180`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .render import BoxScene
+from ..utils import synth
+
+
+def _quat_wxyz(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix -> unit quaternion (w,x,y,z), w >= 0."""
+    from scipy.spatial.transform import Rotation
+    q = Rotation.from_matrix(R).as_quat()  # xyzw
+    q = np.array([q[3], q[0], q[1], q[2]])
+    return q if q[0] >= 0 else -q
+
+
+CONFIG_TEMPLATE = """%YAML:1.0
+File.version: "1.0"
+Camera.type: "PinHole"
+Camera1.fx: {fx}
+Camera1.fy: {fy}
+Camera1.cx: {cx}
+Camera1.cy: {cy}
+Camera1.k1: 0.0
+Camera1.k2: 0.0
+Camera1.p1: 0.0
+Camera1.p2: 0.0
+Camera.width: {width}
+Camera.height: {height}
+Camera.fps: {fps}
+Camera.RGB: 1
+IMU.T_b_c1: !!opencv-matrix
+   rows: 4
+   cols: 4
+   dt: f
+   data: [1.0, 0.0, 0.0, 0.0,
+          0.0, 1.0, 0.0, 0.0,
+          0.0, 0.0, 1.0, 0.0,
+          0.0, 0.0, 0.0, 1.0]
+IMU.NoiseGyro: 1.7e-4
+IMU.NoiseAcc: 2.0e-3
+IMU.GyroWalk: 1.9e-5
+IMU.AccWalk: 3.0e-3
+IMU.Frequency: {imu_rate}
+ORBextractor.nFeatures: {n_features}
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+
+def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
+                      height: int = 480, fps: float = 20.0,
+                      imu_rate: float = 200.0, seed: int = 0,
+                      fx: float = 458.0, fy: float = 458.0,
+                      radius: float = 3.0, arc: float = 1.2,
+                      n_features: int = 800,
+                      imu_noise: bool = True) -> str:
+    """Render and write a sequence; returns `out_dir`.
+
+    Body frame == camera frame (T_b_c1 = I). Timestamps start at 100 s to
+    exercise ns-timestamp parsing.
+    """
+    cx, cy = width / 2.0, height / 2.0
+    K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    scene = BoxScene.default(seed=seed)
+    center = (scene.lo + scene.hi) / 2.0
+    center = (float(center[0]), float(center[1]), float(center[2]) + 3.0)
+    R_cw, t_cw = synth.orbit_trajectory(n_frames=n_frames, radius=radius,
+                                        arc=arc, center=center)
+    R_cw = R_cw.astype(np.float64)
+    t_cw = t_cw.astype(np.float64)
+    t0 = 100.0
+    frame_ts = t0 + np.arange(n_frames) / fps
+
+    cam_dir = os.path.join(out_dir, "mav0", "cam0", "data")
+    imu_dir = os.path.join(out_dir, "mav0", "imu0")
+    gt_dir = os.path.join(out_dir, "mav0", "state_groundtruth_estimate0")
+    for d in (cam_dir, imu_dir, gt_dir):
+        os.makedirs(d, exist_ok=True)
+
+    import cv2
+    lines = ["#timestamp [ns],filename"]
+    for i in range(n_frames):
+        img = scene.render(K, R_cw[i], t_cw[i], width, height,
+                           seed=seed * 1000 + i)
+        ns = int(round(frame_ts[i] * 1e9))
+        cv2.imwrite(os.path.join(cam_dir, f"{ns}.png"), img)
+        lines.append(f"{ns},{ns}.png")
+    with open(os.path.join(out_dir, "mav0", "cam0", "data.csv"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    # IMU: body == camera; samples span [t0 - 0.1, end]
+    kw = dict(gyro_noise=2e-4, acc_noise=2e-3) if imu_noise else {}
+    batches = synth.imu_orbit_samples(R_cw.astype(np.float32),
+                                      t_cw.astype(np.float32),
+                                      frame_ts - frame_ts[0],
+                                      rate=imu_rate, seed=seed, **kw)
+    rows = ["#timestamp [ns],w_RS_S_x,w_RS_S_y,w_RS_S_z,"
+            "a_RS_S_x,a_RS_S_y,a_RS_S_z"]
+    t_acc = frame_ts[0]
+    # one leading stationary-rate sample before the first frame
+    if batches:
+        acc0, gyr0, _ = batches[0]
+        ns = int(round((t_acc - 0.005) * 1e9))
+        rows.append(",".join([str(ns)] + [f"{x:.9f}" for x in gyr0[0]]
+                             + [f"{x:.9f}" for x in acc0[0]]))
+    for acc, gyr, dts in batches:
+        for k in range(len(dts)):
+            t_acc += float(dts[k])
+            ns = int(round(t_acc * 1e9))
+            rows.append(",".join([str(ns)] + [f"{x:.9f}" for x in gyr[k]]
+                                 + [f"{x:.9f}" for x in acc[k]]))
+    with open(os.path.join(imu_dir, "data.csv"), "w") as f:
+        f.write("\n".join(rows) + "\n")
+
+    # GT: body pose in world
+    g_rows = ["#timestamp,p_RS_R_x,p_RS_R_y,p_RS_R_z,"
+              "q_RS_w,q_RS_x,q_RS_y,q_RS_z"]
+    for i in range(n_frames):
+        R_wb = R_cw[i].T
+        p = -R_wb @ t_cw[i]
+        q = _quat_wxyz(R_wb)
+        ns = int(round(frame_ts[i] * 1e9))
+        g_rows.append(",".join([str(ns)] + [f"{x:.9f}" for x in p]
+                               + [f"{x:.9f}" for x in q]))
+    with open(os.path.join(gt_dir, "data.csv"), "w") as f:
+        f.write("\n".join(g_rows) + "\n")
+
+    with open(os.path.join(out_dir, "config.yaml"), "w") as f:
+        f.write(CONFIG_TEMPLATE.format(fx=fx, fy=fy, cx=cx, cy=cy,
+                                       width=width, height=height, fps=fps,
+                                       imu_rate=imu_rate,
+                                       n_features=n_features))
+    return out_dir

@@ -72,6 +72,11 @@ class LocalMapper:
         self._cull_map_points()
         self._create_new_map_points(k)
         self._fuse_neighbors(k)
+        # refresh normals / scale bands / distinctive descriptors of every
+        # point this KF observes (reference ProcessNewKeyFrame's
+        # UpdateNormalAndDepth + ComputeDistinctiveDescriptors,
+        # LocalMapping.cc:302-342, and point creation at :652-668)
+        self.map.update_point_stats(self.map.kf_obs_mp[k])
         # local BA dispatch (LocalMapping.cc:133-160): inertial window BA once
         # IMU is initialized, else visual covisibility-window BA
         if self.map.imu_initialized and self.imu_calib is not None:
@@ -424,7 +429,7 @@ class LocalMapper:
             fixed_kf=jnp.asarray(fixed_mask),
             fixed_lm=jnp.asarray(np.arange(P_cap) >= len(mp_ids)),
         )
-        out, costs = bundle_adjust(prob, cam, n_iters=n_iters)
+        out, costs, ba_outlier = bundle_adjust(prob, cam, n_iters=n_iters)
 
         # write back
         R_new = np.asarray(out.R)
@@ -445,4 +450,5 @@ class LocalMapper:
         uv_pred = np.asarray(self.camera.project(jnp.asarray(xcs)))
         err2 = np.sum((uv_pred - m.kf_uv[kk, slots]) ** 2, -1) * info[:O]
         outlier = (err2 > robust.CHI2_MONO) | (xcs[:, 2] <= 0)
+        outlier |= np.asarray(ba_outlier)[:O]  # rejected at the mid-BA gate
         m.kf_obs_mp[kk[outlier], slots[outlier]] = -1

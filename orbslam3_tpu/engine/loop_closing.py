@@ -410,7 +410,7 @@ class LoopCloser:
             valid=jnp.ones(n_obs, bool),
             fixed_kf=jnp.asarray(fixed),
             fixed_lm=jnp.zeros(len(mp_ids), bool))
-        out, _ = bundle_adjust(prob, self.camera, n_iters=n_iters)
+        out, _, _ = bundle_adjust(prob, self.camera, n_iters=n_iters)
         m.kf_R[kfs] = np.asarray(out.R, np.float32)
         m.kf_t[kfs] = np.asarray(out.t, np.float32)
         m.mp_pos[mp_ids] = np.asarray(out.points, np.float32)

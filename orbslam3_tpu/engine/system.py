@@ -302,12 +302,18 @@ class Slam:
         uid_to_slot = {int(m.kf_uid[k]): int(k) for k in m.keyframe_ids()}
         out = []
         for rec in tracker.trajectory:
-            slot = uid_to_slot.get(rec.ref_kf_uid, -1)
+            # spanning-tree repair for culled reference KFs (System.cc:759-874)
+            R_cr, t_cr, uid, hops = rec.Tcr_R, rec.Tcr_t, rec.ref_kf_uid, 0
+            while uid not in uid_to_slot and uid in m.culled_anchor and hops < 64:
+                p_uid, R_rp, t_rp = m.culled_anchor[uid]
+                R_cr, t_cr = R_cr @ R_rp, R_cr @ t_rp + t_cr
+                uid, hops = p_uid, hops + 1
+            slot = uid_to_slot.get(uid, -1)
             if slot < 0:
                 continue
             Rr, tr = m.kf_R[slot], m.kf_t[slot]
-            R_cw = rec.Tcr_R @ Rr
-            t_cw = rec.Tcr_R @ tr + rec.Tcr_t
+            R_cw = R_cr @ Rr
+            t_cw = R_cr @ tr + t_cr
             out.append((rec.ts, R_cw.T, -R_cw.T @ t_cw))
         return out
 

@@ -406,6 +406,9 @@ class Tracker:
 
         mp_pos = jnp.asarray(m.mp_pos[ids_p])
         mp_planes = desc_k.descriptor_planes(jnp.asarray(m.mp_desc[ids_p]))
+        mp_normal = jnp.asarray(m.mp_normal[ids_p])
+        mp_min_d = jnp.asarray(m.mp_min_dist[ids_p])
+        mp_max_d = jnp.asarray(m.mp_max_dist[ids_p])
         f_planes = desc_k.descriptor_planes(feats.desc)
 
         frustum_box = [None]
@@ -417,6 +420,8 @@ class Tracker:
                 feats.uv, f_planes, feats.octave, feats.valid,
                 jnp.asarray(radius, jnp.float32),
                 max_dist=cfg.max_mp_dist,
+                mp_normal=mp_normal, mp_min_dist=mp_min_d,
+                mp_max_dist=mp_max_d,
             )
             frustum_box[0] = np.asarray(in_frustum)
             if self.debug:
@@ -561,6 +566,9 @@ class Tracker:
         ids = ids[ids >= 0]
         self.map.mp_visible[ids] += 1
         self.map.mp_found[ids] += 1
+        # normals + scale bands for freshly created/observed points
+        # (MapPoint::UpdateNormalAndDepth at creation, MapPoint.cc)
+        self.map.update_point_stats(ids)
 
     # ------------------------------------------------------------- trajectory
     def _record_pose(self, ts: float):
@@ -581,18 +589,30 @@ class Tracker:
         """(T,) timestamps + (T,3) camera centers in world frame, composing
         the logged relative poses with the *current* (optimized) KF poses —
         the reference's SaveTrajectoryTUM logic (System.cc:666-724). Records
-        whose reference keyframe was culled are skipped (the reference walks
-        the spanning tree instead; TODO for the pose-graph milestone)."""
+        whose reference keyframe was culled walk the stored cull anchors
+        (relative pose to the predecessor, frozen at cull time) until a live
+        KF is found — the reference's spanning-tree repair, where bad KFs
+        accumulate mTcp up to a live parent (System.cc:759-874)."""
         uid_to_slot = {int(self.map.kf_uid[k]): int(k)
                        for k in self.map.keyframe_ids()}
+        anchors = self.map.culled_anchor
         ts, centers = [], []
         for rec in self.trajectory:
-            slot = uid_to_slot.get(rec.ref_kf_uid, -1)
+            R_cr = rec.Tcr_R
+            t_cr = rec.Tcr_t
+            uid = rec.ref_kf_uid
+            hops = 0
+            while uid not in uid_to_slot and uid in anchors and hops < 64:
+                p_uid, R_rp, t_rp = anchors[uid]
+                R_cr, t_cr = R_cr @ R_rp, R_cr @ t_rp + t_cr
+                uid = p_uid
+                hops += 1
+            slot = uid_to_slot.get(uid, -1)
             if slot < 0:
                 continue
             Rr, tr = self.map.kf_R[slot], self.map.kf_t[slot]
-            R = rec.Tcr_R @ Rr
-            t = rec.Tcr_R @ tr + rec.Tcr_t
+            R = R_cr @ Rr
+            t = R_cr @ tr + t_cr
             centers.append(-R.T @ t)
             ts.append(rec.ts)
         return np.asarray(ts), np.asarray(centers, np.float32)

@@ -203,16 +203,7 @@ def ba_solve_iteration(prob: BAProblem, camera, lm_lambda):
     return prob._replace(R=R_new, t=t_new, points=pts_new), cost
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
-def bundle_adjust(prob: BAProblem, camera, n_iters: int = 10,
-                  lambda0: float = 1e-4):
-    """Fixed-iteration LM bundle adjustment with accept/reject damping.
-
-    Matches the reference's LocalBundleAdjustment semantics (5+10 iterations
-    of LM on the covisibility window with fixed border KFs,
-    Optimizer.cc:1116-1499) as one compiled program.
-    """
-
+def _lm_scan(prob: BAProblem, camera, n_iters: int, lambda0: float):
     def body(carry, _):
         prob, lam, cost_prev = carry
         prob_new, cost = ba_solve_iteration(prob, camera, lam)
@@ -220,6 +211,12 @@ def bundle_adjust(prob: BAProblem, camera, n_iters: int = 10,
         _, _, _, chi2_new = _eval_residuals(prob_new, camera)
         w_new = _weights(prob_new, chi2_new, jnp.zeros_like(chi2_new, bool))
         cost_new = jnp.sum(robust.huber_rho(chi2_new, HUBER_MONO) * (w_new > 0))
+        # NaN guard: a diverged step (tiny lambda along the mono scale-gauge
+        # null direction) yields NaN chi2, which would zero every weight and
+        # make cost_new == 0 "win" the accept test — treat as +inf instead
+        diverged = ~jnp.isfinite(
+            jnp.where(prob_new.valid, chi2_new, 0.0)).all()
+        cost_new = jnp.where(diverged, jnp.inf, cost_new)
         accept = cost_new < cost
         prob_next = jax.tree_util.tree_map(
             lambda a, b: jnp.where(
@@ -232,7 +229,38 @@ def bundle_adjust(prob: BAProblem, camera, n_iters: int = 10,
         return (prob_next, lam_next, jnp.where(accept, cost_new, cost)), cost
 
     (prob, _, _), costs = jax.lax.scan(
-        body, (prob, jnp.asarray(lambda0, prob.points.dtype), jnp.asarray(jnp.inf, prob.points.dtype)), None,
-        length=n_iters,
+        body,
+        (prob, jnp.asarray(lambda0, prob.points.dtype),
+         jnp.asarray(jnp.inf, prob.points.dtype)),
+        None, length=n_iters,
     )
     return prob, costs
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def bundle_adjust(prob: BAProblem, camera, n_iters: int = 10,
+                  lambda0: float = 1e-4):
+    """Fixed-iteration two-phase LM bundle adjustment.
+
+    Matches the reference's LocalBundleAdjustment semantics
+    (Optimizer.cc:1116-1499): a first Huber-weighted phase, then HARD
+    rejection of observations with chi2 > 5.991 (the reference sets edge
+    level 1 after 5 iterations and later erases those observations from the
+    map), then a second phase on the surviving inliers. Without the hard cut,
+    geometrically-consistent mismatches (repeated texture) pull the map into
+    a low-frequency bend that Huber alone cannot resist.
+
+    Returns (prob, costs, outlier_mask) — outlier_mask marks observations
+    rejected at the chi2 gate so the caller can erase them from the map
+    (Optimizer.cc vToErase, :1446-1499).
+    """
+    n1 = max(n_iters // 3, 2)
+    prob, costs1 = _lm_scan(prob, camera, n1, lambda0)
+    # chi2 gate on the intermediate solution
+    _, _, _, chi2 = _eval_residuals(prob, camera)
+    xc_z = lie.se3_apply(prob.R[prob.kf_idx], prob.t[prob.kf_idx],
+                         prob.points[prob.lm_idx])[..., 2]
+    outlier = prob.valid & ((chi2 > robust.CHI2_MONO) | (xc_z <= 0.0))
+    prob = prob._replace(valid=prob.valid & ~outlier)
+    prob, costs2 = _lm_scan(prob, camera, n_iters - n1, lambda0)
+    return prob, jnp.concatenate([costs1, costs2]), outlier

@@ -25,6 +25,10 @@ import dataclasses
 
 import numpy as np
 
+# byte-wise popcount LUT for host-side Hamming medians
+_POPCOUNT_TABLE = np.array([bin(i).count("1") for i in range(256)],
+                           np.uint16)
+
 
 @dataclasses.dataclass
 class MapConfig:
@@ -77,6 +81,12 @@ class MapState:
         self.kf_pre: dict[int, object] = {}
         # change bookkeeping (reference Map::mnMapChange)
         self.change_index = 0
+        # trajectory repair: culled-KF uid -> (anchor uid, R_ca, t_ca) where
+        # T_ca maps anchor-KF camera coords to the culled KF's. Lets the
+        # trajectory exporter re-anchor frames whose reference KF was culled
+        # (reference SaveTrajectoryTUM walks bad KFs' mTcp up the spanning
+        # tree, System.cc:759-874)
+        self.culled_anchor: dict[int, tuple] = {}
         self.imu_initialized = False
         self.iba_stage = 0  # 0: none, 1: VIBA1 done, 2: VIBA2 done
 
@@ -131,6 +141,12 @@ class MapState:
 
     def remove_keyframe(self, k: int):
         """SetBadFlag equivalent: tombstone the KF and its observations."""
+        p = int(self.kf_prev[k])
+        if p >= 0 and self.kf_valid[p]:
+            R_ca = self.kf_R[k] @ self.kf_R[p].T
+            t_ca = self.kf_t[k] - R_ca @ self.kf_t[p]
+            self.culled_anchor[int(self.kf_uid[k])] = (
+                int(self.kf_uid[p]), R_ca.copy(), t_ca.copy())
         self.kf_valid[k] = False
         self.kf_obs_mp[k] = -1
         self.kf_pre.pop(k, None)
@@ -178,6 +194,76 @@ class MapState:
         self.mp_valid[free] = True
         self.change_index += 1
         return ids
+
+    def update_point_stats(self, mp_ids: np.ndarray, scale: float = 1.2,
+                           n_levels: int = 8):
+        """Refresh viewing normal, scale-invariance distances and the
+        distinctive descriptor of the given points from their current
+        observations (reference `MapPoint::UpdateNormalAndDepth` +
+        `ComputeDistinctiveDescriptors`, MapPoint.cc). These feed the
+        predicted-scale and view-angle gates in projection matching
+        (Frame::isInFrustum); stale values let repeated-texture mismatches
+        through."""
+        mp_ids = np.asarray(mp_ids)
+        mp_ids = mp_ids[(mp_ids >= 0) & self.mp_valid[np.maximum(mp_ids, 0)]]
+        if len(mp_ids) == 0:
+            return
+        kk, slots, mm = self.observations_of(mp_ids)
+        if len(kk) == 0:
+            return
+        centers = np.einsum("kij,ki->kj", np.swapaxes(self.kf_R[kk], 1, 2),
+                            -self.kf_t[kk])
+        vec = self.mp_pos[mm] - centers
+        dist = np.linalg.norm(vec, axis=1)
+        good = dist > 1e-9
+        unit = np.zeros_like(vec)
+        unit[good] = vec[good] / dist[good, None]
+        # mean viewing direction per point
+        nsum = np.zeros((self.cfg.max_points, 3), np.float32)
+        cnt = np.zeros(self.cfg.max_points, np.int32)
+        np.add.at(nsum, mm, unit)
+        np.add.at(cnt, mm, 1)
+        upd = np.unique(mm)
+        norms = np.linalg.norm(nsum[upd], axis=1)
+        nz = norms > 1e-9
+        self.mp_normal[upd[nz]] = (nsum[upd[nz]] / norms[nz, None]).astype(
+            np.float32)
+        # scale-invariance band from the reference KF's observation
+        # (maxDist = d * 1.2^level, minDist = maxDist / 1.2^(L-1))
+        ref = self.mp_ref_kf[mm]
+        is_ref = (kk == ref) & good
+        # fall back to the first observation when the ref KF no longer
+        # observes the point
+        order = np.argsort(mm, kind="stable")
+        first_of = {}
+        for i in order:
+            if mm[i] not in first_of and good[i]:
+                first_of[mm[i]] = i
+        ref_idx = {int(m_): int(i) for m_, i in
+                   zip(mm[is_ref], np.nonzero(is_ref)[0])}
+        for m_ in upd:
+            i = ref_idx.get(int(m_), first_of.get(int(m_), -1))
+            if i < 0:
+                continue
+            lvl = self.kf_octave[kk[i], slots[i]]
+            dmax = dist[i] * scale ** lvl
+            self.mp_max_dist[m_] = dmax * 1.2
+            self.mp_min_dist[m_] = 0.8 * dmax / scale ** (n_levels - 1)
+        # distinctive descriptor: min-median-Hamming representative
+        POP = _POPCOUNT_TABLE
+        start = 0
+        by_mp: dict[int, list[int]] = {}
+        for i in range(len(mm)):
+            by_mp.setdefault(int(mm[i]), []).append(i)
+        for m_, idxs in by_mp.items():
+            if len(idxs) < 2:
+                continue
+            D = self.kf_desc[kk[idxs], slots[idxs]]  # (n,8) uint32
+            x = D[:, None, :] ^ D[None, :, :]
+            h = POP[x & 0xFF] + POP[(x >> 8) & 0xFF] + \
+                POP[(x >> 16) & 0xFF] + POP[(x >> 24) & 0xFF]
+            med = np.median(h.sum(-1), axis=1)
+            self.mp_desc[m_] = D[int(np.argmin(med))]
 
     def merge_points(self, keep_id: int, drop_id: int):
         """MapPoint::Replace equivalent: re-point every observation of

@@ -67,10 +67,20 @@ def search_by_projection(
     radius: jax.Array,       # scalar px search window (scaled per octave)
     max_dist: int = ham.TH_HIGH,
     ratio: float = 0.9,
+    mp_normal: jax.Array | None = None,    # (K,3) mean viewing directions
+    mp_min_dist: jax.Array | None = None,  # (K,) scale-invariance band
+    mp_max_dist: jax.Array | None = None,  # (K,)
 ):
     """Project map points into the frame and associate to keypoints within a
     window (reference `SearchByProjection` for tracking,
     ORBmatcher.cc tracking overload).
+
+    When the point statistics are given, applies the reference's
+    `Frame::isInFrustum` gates (Frame.cc): view distance within
+    [0.8 min, 1.2 max], viewing angle cos > 0.5, and the predicted scale
+    level (`MapPoint::PredictScale`) restricting candidate keypoint octaves
+    to [pred-1, pred+1]. These kill repeated-texture mismatches that a pure
+    descriptor+window search lets through.
 
     Returns (feat_idx (K,), dist (K,), matched (K,), n_matches, in_frustum (K,)).
     """
@@ -81,7 +91,26 @@ def search_by_projection(
     r = radius * (1.2 ** f_octave.astype(jnp.float32))  # octave-scaled window
     window = d2 <= jnp.square(r)[None, :]
 
-    mask = window & vis[:, None] & f_valid[None, :]
+    oct_ok = True
+    if mp_max_dist is not None:
+        center = -jnp.einsum("ji,j->i", R, t)
+        pw = mp_pos - center
+        dist = jnp.linalg.norm(pw, axis=-1)
+        in_band = (dist >= 0.8 * mp_min_dist) & (dist <= 1.2 * mp_max_dist) \
+            & (mp_max_dist > 0)
+        vis = vis & in_band
+        if mp_normal is not None:
+            cosang = jnp.einsum("ki,ki->k", pw, mp_normal) / jnp.maximum(
+                dist, 1e-9)
+            has_n = jnp.linalg.norm(mp_normal, axis=-1) > 1e-6
+            vis = vis & (~has_n | (cosang > 0.5))
+        # PredictScale: level = ceil(log(maxDist/dist) / log 1.2)
+        lvl = jnp.ceil(jnp.log(jnp.maximum(mp_max_dist / 1.2, 1e-9)
+                               / jnp.maximum(dist, 1e-9)) / jnp.log(1.2))
+        lvl = jnp.clip(lvl, 0, 7).astype(jnp.int32)
+        oct_ok = jnp.abs(lvl[:, None] - f_octave[None, :]) <= 1
+
+    mask = window & oct_ok & vis[:, None] & f_valid[None, :]
     idx, best, ok = ham.masked_match_ratio(
         mp_planes, f_planes, mask, max_dist=max_dist, ratio=ratio)
     ok = ok & vis

@@ -176,7 +176,7 @@ class TestBA:
             fixed_kf=jnp.asarray([True, True] + [False] * (n_kf - 2)),
             fixed_lm=jnp.zeros(n_pts, bool),
         )
-        out, costs = bundle_adjust(prob, CAM, n_iters=12)
+        out, costs, _ = bundle_adjust(prob, CAM, n_iters=12)
         # pose error after
         err_t = [np.linalg.norm(np.asarray(out.t[k]) - ts[k]) for k in range(2, n_kf)]
         err_t0 = [np.linalg.norm(ts_n[k] - ts[k]) for k in range(2, n_kf)]
@@ -209,6 +209,6 @@ class TestBA:
             fixed_kf=jnp.asarray([True, False]),
             fixed_lm=jnp.zeros(n_pts, bool),
         )
-        out, _ = bundle_adjust(prob, CAM, n_iters=8)
+        out, _, _ = bundle_adjust(prob, CAM, n_iters=8)
         np.testing.assert_array_equal(np.asarray(out.R[0]), np.asarray(R0))
         np.testing.assert_array_equal(np.asarray(out.t[0]), np.asarray(t0))

@@ -71,7 +71,7 @@ def _synthetic_ba(M=8, P_pts=64, obs_per_pt=5, noise=0.5, seed=0):
 
 def test_sharded_matches_single_device():
     prob, cam, _ = _synthetic_ba()
-    out_ref, costs_ref = bundle_adjust(prob, cam, n_iters=6)
+    out_ref, costs_ref, _ = bundle_adjust(prob, cam, n_iters=6)
 
     mesh = make_mesh(n_lm=8)
     routed = route_observations(prob, 8)
