@@ -24,7 +24,8 @@ def main():
     ap.add_argument('--config', default='',
                     help='settings yaml (default: <seq>/config.yaml)')
     ap.add_argument('--times', default='', help='optional frame times file')
-    ap.add_argument('--imu', action='store_true', help='mono-inertial mode')
+    ap.add_argument('--imu', action='store_true', help='inertial mode')
+    ap.add_argument('--stereo', action='store_true', help='stereo mode')
     ap.add_argument('--tumvi', action='store_true', help='TUM-VI GT layout')
     ap.add_argument('--max-frames', type=int, default=0)
     ap.add_argument('--save-tum', default='')
@@ -45,13 +46,15 @@ def main():
     from orbslam3_tpu.slam_map.map_state import MapConfig
 
     loader = load_tumvi if args.tumvi else load_euroc
-    seq = loader(args.seq, times_file=args.times or None)
+    seq = loader(args.seq, times_file=args.times or None,
+                 stereo=args.stereo)
     n = len(seq) if args.max_frames <= 0 else min(len(seq), args.max_frames)
     print(f'{n} frames, {len(seq.imu_ts)} IMU samples, '
           f'GT={"yes" if seq.gt_ts is not None else "no"}')
 
     cfg_path = args.config or os.path.join(args.seq, 'config.yaml')
-    sensor = 'imu_monocular' if args.imu else 'monocular'
+    base = 'stereo' if args.stereo else 'monocular'
+    sensor = f'imu_{base}' if args.imu else base
     settings = Settings.from_yaml(cfg_path, sensor=sensor)
     cam = settings.camera()
     sys_cfg = settings.system_config(
@@ -72,7 +75,14 @@ def main():
             img = cv2.resize(img, (settings.new_width, settings.new_height))
         imu = next(imu_iter) if imu_iter else None
         t0 = time.time()
-        slam.track_monocular(img, float(seq.image_ts[i]), imu=imu)
+        if args.stereo:
+            img_r = seq.read_image(i, right=True)
+            if need_resize:
+                img_r = cv2.resize(img_r,
+                                   (settings.new_width, settings.new_height))
+            slam.track_stereo(img, img_r, float(seq.image_ts[i]), imu=imu)
+        else:
+            slam.track_monocular(img, float(seq.image_ts[i]), imu=imu)
         track_ms.append(1e3 * (time.time() - t0))
         if not args.quiet and (i % 20 == 0 or i == n - 1):
             info = slam.print_info()
@@ -93,8 +103,9 @@ def main():
             ts = np.array([p[0] for p in poses])
             est = np.array([p[2] for p in poses])  # camera centers
             gt = seq.gt_positions_at(ts)
-            ate = ate_rmse(est, gt, with_scale=not args.imu)
-            tag = 'scale-aligned ' if not args.imu else ''
+            metric_scale = args.imu or args.stereo
+            ate = ate_rmse(est, gt, with_scale=not metric_scale)
+            tag = '' if metric_scale else 'scale-aligned '
             print(f'ATE RMSE ({tag}{len(poses)} frames): {ate * 1e3:.1f} mm')
             return 0
         print('too few tracked frames for ATE')

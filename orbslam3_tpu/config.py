@@ -197,7 +197,15 @@ class Settings:
             sensor = (Sensor.IMU_MONOCULAR if self.inertial
                       else Sensor.MONOCULAR)
         mc = map_cfg or MapConfig(features_per_frame=self.n_features)
+        bf = self.bf
+        if bf <= 0 and self.stereo and self.T_c1_c2 is not None:
+            # bf = baseline * fx (reference Settings::readCamera2)
+            fx = self.fx
+            if self.new_width > 0:
+                fx = fx * self.new_width / self.width
+            bf = float(np.linalg.norm(self.T_c1_c2[:3, 3])) * fx
+        tracker = TrackerConfig(n_features=self.n_features, bf=bf,
+                                th_depth=self.th_depth)
         return SystemConfig(
-            sensor=sensor, map=mc,
-            tracker=TrackerConfig(n_features=self.n_features),
+            sensor=sensor, map=mc, tracker=tracker,
             use_loop_closing=self.loop_closing)

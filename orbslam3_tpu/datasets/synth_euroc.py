@@ -68,7 +68,8 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
                       fx: float = 458.0, fy: float = 458.0,
                       radius: float = 3.0, arc: float = 1.2,
                       n_features: int = 800,
-                      imu_noise: bool = True) -> str:
+                      imu_noise: bool = True,
+                      stereo_baseline: float = 0.0) -> str:
     """Render and write a sequence; returns `out_dir`.
 
     Body frame == camera frame (T_b_c1 = I). Timestamps start at 100 s to
@@ -93,6 +94,9 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
         os.makedirs(d, exist_ok=True)
 
     import cv2
+    cam1_dir = os.path.join(out_dir, "mav0", "cam1", "data")
+    if stereo_baseline > 0:
+        os.makedirs(cam1_dir, exist_ok=True)
     lines = ["#timestamp [ns],filename"]
     for i in range(n_frames):
         img = scene.render(K, R_cw[i], t_cw[i], width, height,
@@ -100,8 +104,19 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
         ns = int(round(frame_ts[i] * 1e9))
         cv2.imwrite(os.path.join(cam_dir, f"{ns}.png"), img)
         lines.append(f"{ns},{ns}.png")
+        if stereo_baseline > 0:
+            # rectified right view: same R, center shifted by +b along the
+            # camera x-axis -> t_cw_right = t_cw - [b, 0, 0]
+            t_r = t_cw[i] - np.array([stereo_baseline, 0.0, 0.0])
+            img_r = scene.render(K, R_cw[i], t_r, width, height,
+                                 seed=seed * 1000 + i + 500000)
+            cv2.imwrite(os.path.join(cam1_dir, f"{ns}.png"), img_r)
     with open(os.path.join(out_dir, "mav0", "cam0", "data.csv"), "w") as f:
         f.write("\n".join(lines) + "\n")
+    if stereo_baseline > 0:
+        with open(os.path.join(out_dir, "mav0", "cam1", "data.csv"),
+                  "w") as f:
+            f.write("\n".join(lines) + "\n")
 
     # IMU: body == camera; samples span [t0 - 0.1, end]
     kw = dict(gyro_noise=2e-4, acc_noise=2e-3) if imu_noise else {}
@@ -140,9 +155,22 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
     with open(os.path.join(gt_dir, "data.csv"), "w") as f:
         f.write("\n".join(g_rows) + "\n")
 
+    cfg_text = CONFIG_TEMPLATE.format(fx=fx, fy=fy, cx=cx, cy=cy,
+                                      width=width, height=height, fps=fps,
+                                      imu_rate=imu_rate,
+                                      n_features=n_features)
+    if stereo_baseline > 0:
+        b = stereo_baseline
+        cfg_text += (
+            f"Camera2.fx: {fx}\nCamera2.fy: {fy}\n"
+            f"Camera2.cx: {cx}\nCamera2.cy: {cy}\n"
+            f"Camera.bf: {b * fx}\nStereo.ThDepth: 35.0\n"
+            "Stereo.T_c1_c2: !!opencv-matrix\n"
+            "   rows: 4\n   cols: 4\n   dt: f\n"
+            f"   data: [1.0, 0.0, 0.0, {b},\n"
+            "          0.0, 1.0, 0.0, 0.0,\n"
+            "          0.0, 0.0, 1.0, 0.0,\n"
+            "          0.0, 0.0, 0.0, 1.0]\n")
     with open(os.path.join(out_dir, "config.yaml"), "w") as f:
-        f.write(CONFIG_TEMPLATE.format(fx=fx, fy=fy, cx=cx, cy=cy,
-                                       width=width, height=height, fps=fps,
-                                       imu_rate=imu_rate,
-                                       n_features=n_features))
+        f.write(cfg_text)
     return out_dir

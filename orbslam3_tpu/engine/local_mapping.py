@@ -51,11 +51,13 @@ class LocalMapperConfig:
 
 class LocalMapper:
     def __init__(self, camera, slam_map: MapState,
-                 cfg: LocalMapperConfig = None, imu_calib=None):
+                 cfg: LocalMapperConfig = None, imu_calib=None,
+                 bf: float = 0.0):
         self.camera = camera
         self.map = slam_map
         self.cfg = cfg or LocalMapperConfig()
         self.imu_calib = imu_calib
+        self.bf = bf  # baseline*fx: >0 enables stereo residuals in BA
         self._t_imu_init: float | None = None  # ts of first IMU init (mTinit)
         # recent map points to watch for culling: list of (mp_id, created_kf_count)
         self._recent_mps: list[tuple[int, int]] = []
@@ -419,6 +421,12 @@ class LocalMapper:
         info[:O] = 1.0 / (1.2 ** (2 * m.kf_octave[kk, slots]))
         valid[:O] = True
 
+        st_kw = {}
+        if self.bf > 0:
+            u_r = np.full(O_cap, -1.0, np.float32)
+            u_r[:O] = m.kf_uright[kk, slots]
+            st_kw = dict(u_r=jnp.asarray(u_r),
+                         bf=jnp.asarray(self.bf, jnp.float32))
         prob = BAProblem(
             R=jnp.asarray(m.kf_R[kf_rows]),
             t=jnp.asarray(m.kf_t[kf_rows]),
@@ -428,6 +436,7 @@ class LocalMapper:
             valid=jnp.asarray(valid),
             fixed_kf=jnp.asarray(fixed_mask),
             fixed_lm=jnp.asarray(np.arange(P_cap) >= len(mp_ids)),
+            **st_kw,
         )
         out, costs, ba_outlier = bundle_adjust(prob, cam, n_iters=n_iters)
 

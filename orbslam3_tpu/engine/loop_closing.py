@@ -44,9 +44,13 @@ class LoopCloserConfig:
     consistency_threshold: int = 3  # mnLoopNumCoincidences
     covis_weight_essential: int = 30  # reference uses 100 on big maps
     fix_scale: bool = False         # stereo/RGBD/inertial: True
+    inertial: bool = False          # IMU maps: 4DoF essential graph + gates
     run_global_ba: bool = True
     gba_iters: int = 10
     n_best_candidates: int = 3
+    # inertial loop sanity gates (LoopClosing.cc:145-167, 242-264)
+    max_pitch_roll_rad: float = 0.008
+    merge_scale_range: tuple = (0.9, 1.1)
 
 
 @dataclasses.dataclass
@@ -114,6 +118,10 @@ class LoopCloser:
                     self._consistent_count + 1 if consistent else 1)
                 self._last_cand_uid = int(m.kf_uid[cand])
                 if self._consistent_count >= cfg.consistency_threshold:
+                    # inertial loop sanity: correction must be near yaw-only
+                    # ("BAD LOOP", LoopClosing.cc:242-264)
+                    if cfg.inertial and not self._yaw_only_ok(R):
+                        continue
                     self._consistent_count = 0
                     self._last_cand_uid = -1
                     self._correct_loop(m, k, cand, s, R, t)
@@ -127,12 +135,29 @@ class LoopCloser:
                 if res is None:
                     continue
                 s, R, t, n_inl = res
+                # inertial merge gates: scale in [0.9, 1.1] once VI is
+                # mature, yaw-only correction (LoopClosing.cc:145-167)
+                if cfg.inertial:
+                    lo, hi = cfg.merge_scale_range
+                    if (m.imu_initialized and not lo <= float(s) <= hi):
+                        continue
+                    if not self._yaw_only_ok(R):
+                        continue
                 ev = self._merge_maps(m, k, other, cand, s, R, t, int(n_inl))
                 self.events.append(ev)
                 return ev
         if len(cands) == 0:
             self._consistent_count = 0
         return None
+
+    def _yaw_only_ok(self, R) -> bool:
+        """Inertial maps have observable gravity: a loop/merge correction
+        must not tilt the map. Accept only rotations whose pitch/roll
+        magnitude is under `max_pitch_roll_rad` (reference checks
+        |phi(0)|,|phi(1)| < 0.008 rad, LoopClosing.cc:242-264)."""
+        phi = np.asarray(lie.so3_log(jnp.asarray(R, jnp.float32)))
+        thr = self.cfg.max_pitch_roll_rad
+        return abs(float(phi[0])) < thr and abs(float(phi[1])) < thr
 
     def _matched_mp_pairs(self, m1: MapState, k1: int, m2: MapState, k2: int):
         """SearchByBoW-equivalent: match features of KF k1 against KF k2 by
@@ -338,8 +363,15 @@ class LoopCloser:
         add_edge(cand, cur, float(s_loop), np.asarray(R_loop),
                  np.asarray(t_loop), 1.0)
 
-        dof = np.tile(np.asarray(DOF_SE3 if cfg.fix_scale else DOF_SIM3),
-                      (M, 1)).astype(np.float32)
+        # gauge per sensor (OptimizeEssentialGraph4DoF at Optimizer.cc:5292
+        # for inertial maps; SE3 for stereo/RGB-D; full Sim3 for mono)
+        if cfg.inertial:
+            base_dof = DOF_4DOF
+        elif cfg.fix_scale:
+            base_dof = DOF_SE3
+        else:
+            base_dof = DOF_SIM3
+        dof = np.tile(np.asarray(base_dof), (M, 1)).astype(np.float32)
         dof[slot[cand]] = 0.0  # fix the loop keyframe
 
         g = PoseGraph(

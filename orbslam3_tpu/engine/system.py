@@ -93,8 +93,16 @@ class Slam:
             from ..place.database import KeyFrameDatabase
             self.db = KeyFrameDatabase(
                 vocab, max_keyframes=self.cfg.map.max_keyframes * 4)
-            self.loop_closer = LoopCloser(camera, self.atlas, self.db,
-                                          LoopCloserConfig())
+            # sensor-aware gauge: stereo/RGB-D/inertial maps have observable
+            # scale, so loop Sim3 is locked to SE3 (reference mbFixScale,
+            # LoopClosing.cc ctor + Tracking sensor dispatch); inertial maps
+            # additionally use the 4DoF essential graph
+            fix_scale = self.cfg.sensor != Sensor.MONOCULAR
+            inertial = self.cfg.sensor in (Sensor.IMU_MONOCULAR,
+                                           Sensor.IMU_STEREO, Sensor.IMU_RGBD)
+            self.loop_closer = LoopCloser(
+                camera, self.atlas, self.db,
+                LoopCloserConfig(fix_scale=fix_scale, inertial=inertial))
         self.trackers: dict[int, Tracker] = {}
         self._mappers: dict[int, LocalMapper] = {}
         self._imu_queues: dict[int, list] = {}
@@ -110,7 +118,8 @@ class Slam:
         with self._lock:
             m = self.atlas.active
             mapper = _HookedMapper(
-                LocalMapper(self.camera, m, imu_calib=self._imu_calib()),
+                LocalMapper(self.camera, m, imu_calib=self._imu_calib(),
+                            bf=self.cfg.tracker.bf),
                 self._on_keyframe)
             tracker = Tracker(self.camera, m, self.cfg.tracker,
                               client_id=client_id, local_mapper=mapper,
@@ -146,6 +155,32 @@ class Slam:
             tracker.queue_imu(self._imu_queues[client_id])
             self._imu_queues[client_id] = []
         out = tracker.process_image(img, ts)
+        self._after_track(tracker)
+        return out
+
+    def track_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
+                     ts: float, imu=None, client_id: int = 0):
+        """Reference `System::TrackStereo` (`System.cc:268-360`)."""
+        if imu is not None:
+            self._imu_queues[client_id].extend(imu)
+        tracker = self.trackers[client_id]
+        if self._imu_queues[client_id]:
+            tracker.queue_imu(self._imu_queues[client_id])
+            self._imu_queues[client_id] = []
+        out = tracker.process_stereo(img_left, img_right, ts)
+        self._after_track(tracker)
+        return out
+
+    def track_rgbd(self, img: np.ndarray, depth: np.ndarray, ts: float,
+                   imu=None, client_id: int = 0, depth_factor: float = 1.0):
+        """Reference `System::TrackRGBD` (`System.cc:362-421`)."""
+        if imu is not None:
+            self._imu_queues[client_id].extend(imu)
+        tracker = self.trackers[client_id]
+        if self._imu_queues[client_id]:
+            tracker.queue_imu(self._imu_queues[client_id])
+            self._imu_queues[client_id] = []
+        out = tracker.process_rgbd(img, depth, ts, depth_factor=depth_factor)
         self._after_track(tracker)
         return out
 
@@ -192,7 +227,8 @@ class Slam:
         m = self.atlas.active
         for cid, tracker in self.trackers.items():
             mapper = _HookedMapper(
-                LocalMapper(self.camera, m, imu_calib=self._imu_calib()),
+                LocalMapper(self.camera, m, imu_calib=self._imu_calib(),
+                            bf=self.cfg.tracker.bf),
                 self._on_keyframe)
             self._mappers[cid] = mapper
             old_traj = tracker.trajectory

@@ -64,6 +64,12 @@ class TrackerConfig:
     max_mp_dist: int = 100           # TH_HIGH descriptor gate
     recently_lost_frames: int = 20   # ~1s at 20fps (time_recently_lost)
     imu_samples_per_frame: int = 128  # padded preintegration window capacity
+    # stereo / RGB-D (reference mbf + close/far split mThDepth,
+    # Tracking.cc:1546-1655, Frame.cc ComputeStereoMatches)
+    bf: float = 0.0                  # baseline * fx (px*m); 0 = mono
+    stereo_min_z: float = 0.1        # closest admissible stereo depth (m)
+    th_depth: float = 35.0           # close-point threshold in baselines
+    stereo_init_min_points: int = 100  # StereoInitialization gate (ref: 500)
 
 
 @dataclasses.dataclass
@@ -92,6 +98,14 @@ class Tracker:
         self._imu_queue: list[tuple[float, np.ndarray, np.ndarray]] = []
         self._pre_cur = None                 # preintegration last->cur frame
         self._pre_frames: list = []          # accumulated since last KF
+        # VI tracking state: marginalization prior on the last frame
+        # (ConstraintPoseImu, Frame.h:132) + per-frame bias estimate
+        self._imu_prior = None
+        self._frame_bias: Optional[np.ndarray] = None
+        self._map_change_seen = -1
+        # per-frame stereo/RGB-D depth (set by process_stereo/process_rgbd)
+        self._cur_depth: Optional[np.ndarray] = None
+        self._cur_uright: Optional[np.ndarray] = None
         self._last_ts: Optional[float] = None
         self._vel_w: Optional[np.ndarray] = None  # body velocity (world)
         self.local_mapper = local_mapper
@@ -134,6 +148,8 @@ class Tracker:
                  np.asarray(acc, np.float32)))
 
     def _current_bias(self) -> np.ndarray:
+        if self._frame_bias is not None:
+            return self._frame_bias.copy()
         if self.ref_kf >= 0 and self.map.kf_valid[self.ref_kf]:
             return self.map.kf_bias[self.ref_kf].copy()
         return np.zeros(6, np.float32)
@@ -209,6 +225,48 @@ class Tracker:
                                  n_features=self.cfg.n_features)
         return self.process_features(feats, ts)
 
+    def process_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
+                       ts: float):
+        """Rectified stereo entry (GrabImageStereo, Tracking.cc:1546):
+        extract both images, row-band match, attach per-feature depth."""
+        from orbslam3_tpu.vision import stereo as stereo_m
+        featsL = extract_features(jnp.asarray(img_left, jnp.float32),
+                                  n_features=self.cfg.n_features)
+        featsR = extract_features(jnp.asarray(img_right, jnp.float32),
+                                  n_features=self.cfg.n_features)
+        pL = desc_k.descriptor_planes(featsL.desc)
+        pR = desc_k.descriptor_planes(featsR.desc)
+        bf = self.cfg.bf
+        u_r, depth, good = stereo_m.stereo_match(
+            featsL.uv, pL, featsL.octave, featsL.valid,
+            featsR.uv, pR, featsR.octave, featsR.valid,
+            jnp.asarray(bf, jnp.float32),
+            jnp.asarray(self.cfg.stereo_min_z, jnp.float32),
+            jnp.asarray(bf / max(self.cfg.stereo_min_z, 1e-6), jnp.float32))
+        self._cur_depth = np.asarray(depth)
+        self._cur_uright = np.asarray(u_r)
+        out = self.process_features(featsL, ts)
+        self._cur_depth = None
+        self._cur_uright = None
+        return out
+
+    def process_rgbd(self, img: np.ndarray, depth_map: np.ndarray, ts: float,
+                     depth_factor: float = 1.0):
+        """RGB-D entry (GrabImageRGBD, Tracking.cc:1602): registered depth
+        lookup at keypoints, virtual right coordinate for stereo residuals."""
+        from orbslam3_tpu.vision import stereo as stereo_m
+        feats = extract_features(jnp.asarray(img, jnp.float32),
+                                 n_features=self.cfg.n_features)
+        u_r, depth, good = stereo_m.depth_from_rgbd(
+            feats.uv, feats.valid, jnp.asarray(depth_map),
+            jnp.asarray(self.cfg.bf, jnp.float32), depth_factor)
+        self._cur_depth = np.asarray(depth)
+        self._cur_uright = np.asarray(u_r)
+        out = self.process_features(feats, ts)
+        self._cur_depth = None
+        self._cur_uright = None
+        return out
+
     def process_features(self, feats: FrameFeatures, ts: float):
         """Main entry (GrabImageMonocular/GrabImageEdge equivalent).
 
@@ -225,6 +283,8 @@ class Tracker:
                     and self.map.n_keyframes >= 5):
                 if self._try_relocalize(feats, ts):
                     self.state = TrackingState.OK
+            elif self._cur_depth is not None:
+                self._stereo_initialization(feats, ts)
             else:
                 self._monocular_initialization(feats, ts)
         elif self.state in (TrackingState.OK, TrackingState.RECENTLY_LOST):
@@ -257,6 +317,50 @@ class Tracker:
         return None
 
     # --------------------------------------------------------- initialization
+    def _stereo_initialization(self, feats: FrameFeatures, ts: float):
+        """StereoInitialization (Tracking.cc:2475): the first frame with
+        enough stereo/RGB-D depths becomes a keyframe with map points
+        unprojected straight from depth — no two-view RANSAC needed."""
+        cfg = self.cfg
+        f = jax.device_get(feats)
+        valid = np.asarray(f.valid)
+        depth = self._cur_depth
+        has_d = valid & (depth > 0)
+        if int(has_d.sum()) < cfg.stereo_init_min_points:
+            return
+        rays = np.asarray(self.camera.unproject(feats.uv))  # z=1 rays
+        pts = rays * depth[:, None]
+        sel = np.nonzero(has_d)[0]
+        ids = self.map.add_points(
+            pos=pts[sel].astype(np.float32),
+            desc=np.asarray(f.desc)[sel],
+            first_kf=0,
+        )
+        obs = np.full(feats.capacity, -1, np.int32)
+        good = ids >= 0
+        obs[sel[good]] = ids[good]
+        k0 = self.map.add_keyframe(
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32), ts,
+            self.frame_id, np.asarray(f.uv), np.asarray(f.octave),
+            np.asarray(f.angle), np.asarray(f.desc), valid, obs,
+            uright=self._cur_uright,
+        )
+        self.R_cw = np.eye(3, dtype=np.float32)
+        self.t_cw = np.zeros(3, np.float32)
+        self._set_ref_kf(k0)
+        self._update_mp_stats_after_insert(ids[good])
+        self._last_feats = feats
+        mp_ids = np.full(feats.capacity, -1, np.int32)
+        mp_ids[:] = obs
+        self._last_mp_ids = mp_ids
+        self._last_R = self.R_cw.copy()
+        self._last_t = self.t_cw.copy()
+        self._vel_R = np.eye(3, dtype=np.float32)
+        self._vel_t = np.zeros(3, np.float32)
+        self._pre_frames = []
+        self.state = TrackingState.OK
+        self._frames_since_kf = 0
+
     def _monocular_initialization(self, feats: FrameFeatures, ts: float):
         cfg = self.cfg
         if self._init_feats is None:
@@ -434,10 +538,18 @@ class Tracker:
             pts = m.mp_pos[ids_p[sel]]
             uv_obs = np.asarray(feats.uv)[fidx_np[sel]]
             info = 1.0 / (1.2 ** (2 * np.asarray(feats.octave)[fidx_np[sel]]))
+            # stereo rows (EdgeStereo...OnlyPose) when per-feature depth
+            # is available this frame
+            ur_kw = {}
+            if self._cur_uright is not None and cfg.bf > 0:
+                ur_kw = dict(
+                    u_r=jnp.asarray(self._cur_uright[fidx_np[sel]],
+                                    jnp.float32),
+                    bf=jnp.asarray(cfg.bf, jnp.float32))
             R, t, inliers, n_in = optimize_pose(
                 jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(pts),
                 jnp.asarray(uv_obs, jnp.float32), jnp.asarray(info, jnp.float32),
-                jnp.ones(len(sel), bool), self.camera,
+                jnp.ones(len(sel), bool), self.camera, **ur_kw,
             )
             if self.debug:
                 print(f"    optimize: n_in={int(n_in)}/{len(sel)}")
@@ -467,6 +579,19 @@ class Tracker:
         if n_in < cfg.min_inliers_ok:
             return False
 
+        # visual-inertial pose refinement once IMU is initialized
+        # (TrackLocalMap dispatch, Tracking.cc:3114-3136: the reference
+        # replaces visual PoseOptimization with
+        # PoseInertialOptimizationLastKeyFrame/LastFrame)
+        vi = self._optimize_pose_vi(R1, t1, feats, ids_p, sel, fidx_np, ts)
+        vi_ok = False
+        if vi is not None:
+            R_vi, t_vi, inliers_vi, n_in_vi = vi
+            if n_in_vi >= cfg.min_inliers_ok:
+                R1, t1 = R_vi, t_vi
+                inliers, n_in = inliers_vi, n_in_vi
+                vi_ok = True
+
         # bookkeeping: per-feature mp assignment for KF creation
         mp_ids = np.full(feats.capacity, -1, np.int32)
         good = sel[np.asarray(inliers)]
@@ -489,7 +614,9 @@ class Tracker:
         # frame-to-frame finite differencing is noisier, so it is only the
         # fallback when no preintegration was available this frame.
         if self.imu_calib is not None and self._last_ts is not None:
-            if pred_v is not None:
+            if vi_ok:
+                pass  # _optimize_pose_vi stored the optimized velocity/bias
+            elif pred_v is not None:
                 self._vel_w = np.asarray(pred_v, np.float32)
             else:
                 self._update_velocity(R_prev, t_prev, ts - self._last_ts)
@@ -503,11 +630,82 @@ class Tracker:
             self._create_keyframe(feats, ts, mp_ids)
         return True
 
+    def _optimize_pose_vi(self, R1, t1, feats, ids_p, sel, fidx_np, ts):
+        """VI pose refinement (PoseInertialOptimizationLastKeyFrame /
+        LastFrame, Optimizer.cc:4491/4875). Anchored at the last keyframe
+        when the map changed since the previous frame (its prior is stale —
+        Tracking.cc:3114-3136 mbMapUpdated dispatch), otherwise at the last
+        frame through the marginalization prior. Returns
+        (R_cw, t_cw, inliers, n_in) or None when not applicable."""
+        m = self.map
+        if (self.imu_calib is None or not m.imu_initialized
+                or self._pre_cur is None or self._vel_w is None
+                or self.ref_kf < 0 or not m.kf_valid[self.ref_kf]):
+            return None
+        from orbslam3_tpu.opt.pose_inertial import (BodyState,
+                                                    optimize_pose_inertial)
+        map_updated = m.change_index != self._map_change_seen
+        self._map_change_seen = m.change_index
+
+        bias = self._current_bias()
+        Rwb1, twb1, Rcb, tcb = self._body_pose(R1, t1)
+        cur = BodyState(jnp.asarray(Rwb1, jnp.float32),
+                        jnp.asarray(twb1, jnp.float32),
+                        jnp.asarray(self._vel_w, jnp.float32),
+                        jnp.asarray(bias, jnp.float32))
+
+        use_last_frame = (not map_updated and self._imu_prior is not None)
+        if use_last_frame:
+            pre = self._pre_cur
+            anchor = self._imu_prior.state
+            prior = self._imu_prior
+            fixed = False
+        else:
+            # anchor at the reference KF; merge the per-frame windows
+            if not self._pre_frames:
+                return None
+            pre = self._pre_frames[0]
+            for p in self._pre_frames[1:]:
+                pre = preint.merge(pre, p)
+            k = self.ref_kf
+            Rwb_k, twb_k, _, _ = self._body_pose(m.kf_R[k], m.kf_t[k])
+            anchor = BodyState(jnp.asarray(Rwb_k, jnp.float32),
+                               jnp.asarray(twb_k, jnp.float32),
+                               jnp.asarray(m.kf_vel[k], jnp.float32),
+                               jnp.asarray(m.kf_bias[k], jnp.float32))
+            prior = None
+            fixed = True
+
+        pts = m.mp_pos[ids_p[sel]]
+        uv_obs = np.asarray(feats.uv)[fidx_np[sel]]
+        info = 1.0 / (1.2 ** (2 * np.asarray(feats.octave)[fidx_np[sel]]))
+        try:
+            out, inl, n_in, new_prior = optimize_pose_inertial(
+                anchor, cur, pre, self.imu_calib,
+                jnp.asarray(pts), jnp.asarray(uv_obs, jnp.float32),
+                jnp.asarray(info, jnp.float32),
+                jnp.ones(len(sel), bool), self.camera,
+                prior=prior, anchor_fixed=fixed)
+        except Exception:
+            return None
+        Rwb2 = np.asarray(out.Rwb)
+        if not np.isfinite(Rwb2).all():
+            return None
+        R_cw = (np.asarray(Rcb) @ Rwb2.T).astype(np.float32)
+        t_cw = (-R_cw @ np.asarray(out.p) + np.asarray(tcb)).astype(
+            np.float32)
+        self._imu_prior = new_prior
+        self._vel_w = np.asarray(out.v, np.float32)
+        self._frame_bias = np.asarray(out.bias, np.float32)
+        return R_cw, t_cw, np.asarray(inl), int(n_in)
+
     def _try_relocalize(self, feats: FrameFeatures, ts: float) -> bool:
         out = self.relocalizer(feats)
         if out is None:
             return False
         R, t, mp_ids, ref_kf = out
+        self._imu_prior = None   # stale after a relocalization jump
+        self._frame_bias = None
         self.R_cw = np.asarray(R, np.float32).copy()
         self.t_cw = np.asarray(t, np.float32).copy()
         self._last_R, self._last_t = self.R_cw.copy(), self.t_cw.copy()
@@ -543,15 +741,35 @@ class Tracker:
                 pre_kf = preint.merge(pre_kf, p)
             pre_kf = jax.device_get(pre_kf)
         self._pre_frames = []
+        obs = mp_ids.copy()
         k = self.map.add_keyframe(
             self.R_cw, self.t_cw, ts, self.frame_id,
             np.asarray(f.uv), np.asarray(f.octave), np.asarray(f.angle),
-            np.asarray(f.desc), np.asarray(f.valid), mp_ids.copy(),
+            np.asarray(f.desc), np.asarray(f.valid), obs,
             prev_kf=self.ref_kf,
             vel=self._vel_w if self._vel_w is not None else None,
             bias=self._current_bias() if self.imu_calib is not None else None,
             preint=pre_kf,
+            uright=self._cur_uright,
         )
+        # stereo/RGB-D: spawn close map points for unmatched features
+        # (CreateNewKeyFrame close-point insertion, Tracking.cc:3400-3470)
+        if self._cur_depth is not None and self.cfg.bf > 0:
+            fx = float(np.asarray(self.camera.params)[0])
+            close = self.cfg.bf / fx * self.cfg.th_depth
+            new = (np.asarray(f.valid) & (mp_ids < 0)
+                   & (self._cur_depth > 0) & (self._cur_depth < close))
+            sel = np.nonzero(new)[0]
+            if len(sel):
+                rays = np.asarray(self.camera.unproject(feats.uv))[sel]
+                xc = rays * self._cur_depth[sel, None]
+                pw = xc @ self.R_cw + (-self.R_cw.T @ self.t_cw)
+                ids_new = self.map.add_points(
+                    pos=pw.astype(np.float32),
+                    desc=np.asarray(f.desc)[sel], first_kf=k)
+                okn = ids_new >= 0
+                self.map.kf_obs_mp[k, sel[okn]] = ids_new[okn]
+                mp_ids[sel[okn]] = ids_new[okn]
         self._update_mp_stats_after_insert(mp_ids[mp_ids >= 0])
         self._set_ref_kf(k)
         self._frames_since_kf = 0

@@ -52,12 +52,20 @@ class BAProblem(NamedTuple):
     valid: jax.Array    # (O,) bool
     fixed_kf: jax.Array  # (M,) bool — poses held constant (gauge)
     fixed_lm: jax.Array  # (P,) bool
+    # stereo extension (EdgeStereoSE3ProjectXYZ, G2oTypes.h:342-466):
+    # virtual right-image u per observation (<0 = mono) and bf = baseline*fx.
+    # None => pure-mono problem (2-component residuals, old behavior).
+    u_r: jax.Array | None = None  # (O,)
+    bf: jax.Array | None = None   # scalar
 
 
 def _eval_residuals(prob: BAProblem, camera):
     """All-observation residuals + Jacobians.
 
-    Returns res (O,2), Jp (O,2,6) pose jac, Jl (O,2,3) landmark jac, chi2 (O,).
+    Mono problems: res (O,2), Jp (O,2,6), Jl (O,2,3).
+    Stereo problems (u_r given): res (O,3) with the third component
+    (u - bf/z) - u_r masked to zero for mono observations — the reference's
+    EdgeStereo 3-vector residual (G2oTypes.h:342-466).
     """
     Rk = prob.R[prob.kf_idx]
     tk = prob.t[prob.kf_idx]
@@ -66,14 +74,39 @@ def _eval_residuals(prob: BAProblem, camera):
     pred = camera.project(xc)
     res = pred - prob.uv
     Jproj = camera.project_jac(xc)
+    if prob.u_r is not None:
+        has_st = (prob.u_r >= 0.0)[:, None]
+        z = jnp.maximum(xc[:, 2], 1e-6)
+        r3 = (pred[:, 0] - prob.bf / z) - prob.u_r
+        res = jnp.concatenate(
+            [res, jnp.where(has_st, r3[:, None], 0.0)], axis=-1)
+        # d(u - bf/z)/dxc = du/dxc + [0, 0, bf/z^2]
+        Jr3 = Jproj[:, 0, :] + jnp.stack(
+            [jnp.zeros_like(z), jnp.zeros_like(z), prob.bf / (z * z)], -1)
+        Jr3 = jnp.where(has_st, Jr3, 0.0)
+        Jproj = jnp.concatenate([Jproj, Jr3[:, None, :]], axis=1)
     Jp = jnp.concatenate([Jproj, -Jproj @ lie.hat(xc)], axis=-1)
     Jl = Jproj @ Rk  # dXc/dXw = R
     chi2 = jnp.sum(res * res, axis=-1) * prob.info
     return res, Jp, Jl, chi2
 
 
+def _huber_delta(prob: BAProblem):
+    """Per-observation Huber threshold: sqrt(5.991) mono, sqrt(7.815)
+    stereo (reference deltaMonoSq/deltaStereoSq)."""
+    if prob.u_r is None:
+        return HUBER_MONO
+    return jnp.where(prob.u_r >= 0.0, robust.CHI2_STEREO ** 0.5, HUBER_MONO)
+
+
+def _chi2_gate(prob: BAProblem):
+    if prob.u_r is None:
+        return robust.CHI2_MONO
+    return jnp.where(prob.u_r >= 0.0, robust.CHI2_STEREO, robust.CHI2_MONO)
+
+
 def _weights(prob: BAProblem, chi2, behind):
-    w = robust.huber_weight(chi2, HUBER_MONO) * prob.info
+    w = robust.huber_weight(chi2, _huber_delta(prob)) * prob.info
     return jnp.where(prob.valid & ~behind, w, 0.0)
 
 
@@ -199,7 +232,7 @@ def ba_solve_iteration(prob: BAProblem, camera, lm_lambda):
     R_new = lie.so3_normalize(dRs @ prob.R)
     t_new = jnp.einsum("mij,mj->mi", dRs, prob.t) + dts
     pts_new = prob.points + dl
-    cost = jnp.sum(robust.huber_rho(chi2, HUBER_MONO) * (w > 0))
+    cost = jnp.sum(robust.huber_rho(chi2, _huber_delta(prob)) * (w > 0))
     return prob._replace(R=R_new, t=t_new, points=pts_new), cost
 
 
@@ -210,7 +243,8 @@ def _lm_scan(prob: BAProblem, camera, n_iters: int, lambda0: float):
         # evaluate new cost for accept/reject
         _, _, _, chi2_new = _eval_residuals(prob_new, camera)
         w_new = _weights(prob_new, chi2_new, jnp.zeros_like(chi2_new, bool))
-        cost_new = jnp.sum(robust.huber_rho(chi2_new, HUBER_MONO) * (w_new > 0))
+        cost_new = jnp.sum(
+            robust.huber_rho(chi2_new, _huber_delta(prob_new)) * (w_new > 0))
         # NaN guard: a diverged step (tiny lambda along the mono scale-gauge
         # null direction) yields NaN chi2, which would zero every weight and
         # make cost_new == 0 "win" the accept test — treat as +inf instead
@@ -260,7 +294,7 @@ def bundle_adjust(prob: BAProblem, camera, n_iters: int = 10,
     _, _, _, chi2 = _eval_residuals(prob, camera)
     xc_z = lie.se3_apply(prob.R[prob.kf_idx], prob.t[prob.kf_idx],
                          prob.points[prob.lm_idx])[..., 2]
-    outlier = prob.valid & ((chi2 > robust.CHI2_MONO) | (xc_z <= 0.0))
+    outlier = prob.valid & ((chi2 > _chi2_gate(prob)) | (xc_z <= 0.0))
     prob = prob._replace(valid=prob.valid & ~outlier)
     prob, costs2 = _lm_scan(prob, camera, n_iters - n1, lambda0)
     return prob, jnp.concatenate([costs1, costs2]), outlier

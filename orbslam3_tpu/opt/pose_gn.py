@@ -24,14 +24,27 @@ CHI2_MONO = robust.CHI2_MONO
 HUBER_MONO = CHI2_MONO ** 0.5
 
 
-def reprojection_residuals(R, t, points, uv, camera):
-    """Residuals (N,2) and Jacobians (N,2,6) wrt left-perturbation of (R,t)."""
+def reprojection_residuals(R, t, points, uv, camera, u_r=None, bf=None):
+    """Residuals (N,2|3) and Jacobians (N,2|3,6) wrt left-perturbation.
+
+    With `u_r`/`bf`, appends the stereo component (u - bf/z) - u_r, masked
+    to zero for mono observations (u_r < 0) — reference
+    EdgeStereoSE3ProjectXYZOnlyPose."""
     xc = lie.se3_apply(R, t, points)
     pred = camera.project(xc)
     res = pred - uv
     Jproj = camera.project_jac(xc)  # (N,2,3)
+    if u_r is not None:
+        has_st = (u_r >= 0.0)[:, None]
+        z = jnp.maximum(xc[:, 2], 1e-6)
+        r3 = (pred[:, 0] - bf / z) - u_r
+        res = jnp.concatenate([res, jnp.where(has_st, r3[:, None], 0.0)], -1)
+        Jr3 = Jproj[:, 0, :] + jnp.stack(
+            [jnp.zeros_like(z), jnp.zeros_like(z), bf / (z * z)], -1)
+        Jproj = jnp.concatenate(
+            [Jproj, jnp.where(has_st, Jr3, 0.0)[:, None, :]], axis=1)
     # dXc/dxi = [I | -hat(Xc)]
-    Jpose = jnp.concatenate([Jproj, -Jproj @ lie.hat(xc)], axis=-1)  # (N,2,6)
+    Jpose = jnp.concatenate([Jproj, -Jproj @ lie.hat(xc)], axis=-1)
     return res, Jpose, xc
 
 
@@ -47,20 +60,30 @@ def optimize_pose(
     n_rounds: int = 4,
     n_iters: int = 10,
     damping: float = 1e-3,
+    u_r: jax.Array | None = None,  # (N,) virtual right u; <0 = mono
+    bf: jax.Array | None = None,
 ):
     """Returns (R, t, inliers, n_inliers). Matches the reference's
     round structure: after each round, obs with chi2 > 5.991 are excluded
     (and can re-enter if they fall back under threshold, like g2o level-0/1
     edge re-activation at Optimizer.cc:1049-1070)."""
 
+    if u_r is None:
+        delta = HUBER_MONO
+        gate = CHI2_MONO
+    else:  # per-obs thresholds: sqrt(7.815) / 7.815 for stereo rows
+        delta = jnp.where(u_r >= 0.0, robust.CHI2_STEREO ** 0.5, HUBER_MONO)
+        gate = jnp.where(u_r >= 0.0, robust.CHI2_STEREO, CHI2_MONO)
+
     def gn_round(carry, _):
         R, t, inlier = carry
 
         def gn_step(_, Rt):
             R, t = Rt
-            res, J, _ = reprojection_residuals(R, t, points, uv, camera)
+            res, J, _ = reprojection_residuals(R, t, points, uv, camera,
+                                               u_r, bf)
             chi2 = jnp.sum(res * res, axis=-1) * info
-            w = robust.huber_weight(chi2, HUBER_MONO) * info * inlier
+            w = robust.huber_weight(chi2, delta) * info * inlier
             JW = J * w[:, None, None]
             H = jnp.einsum("nia,nib->ab", JW, J)
             b = jnp.einsum("nia,ni->a", JW, res)
@@ -81,11 +104,12 @@ def optimize_pose(
         # det(R) had drifted to 0.994 by frame 16.)
         R = lie.so3_normalize(R)
         # re-classify
-        res, _, xc = reprojection_residuals(R, t, points, uv, camera)
+        res, _, xc = reprojection_residuals(R, t, points, uv, camera,
+                                            u_r, bf)
         chi2 = jnp.sum(res * res, axis=-1) * info
         inlier_new = (
             valid.astype(R.dtype)
-            * (chi2 < CHI2_MONO).astype(R.dtype)
+            * (chi2 < gate).astype(R.dtype)
             * (xc[:, 2] > 0).astype(R.dtype)
         )
         return (R, t, inlier_new), None

@@ -56,6 +56,9 @@ class MapState:
         self.kf_desc = np.zeros((M, N, 8), np.uint32)
         self.kf_feat_valid = np.zeros((M, N), bool)
         self.kf_obs_mp = np.full((M, N), -1, np.int32)
+        # stereo: virtual right-image u per feature (-1 = mono observation;
+        # reference Frame::mvuRight carried onto KeyFrame)
+        self.kf_uright = np.full((M, N), -1.0, np.float32)
         # IMU state per keyframe (used once inertial is initialized)
         self.kf_vel = np.zeros((M, 3), np.float32)
         self.kf_bias = np.zeros((M, 6), np.float32)
@@ -104,7 +107,7 @@ class MapState:
 
     def add_keyframe(self, R, t, ts, frame_id, uv, octave, angle, desc,
                      feat_valid, obs_mp, prev_kf: int = -1,
-                     vel=None, bias=None, preint=None) -> int:
+                     vel=None, bias=None, preint=None, uright=None) -> int:
         free = np.nonzero(~self.kf_valid)[0]
         if len(free) == 0:
             raise RuntimeError("keyframe capacity exhausted")
@@ -119,6 +122,7 @@ class MapState:
         self.kf_desc[k] = desc
         self.kf_feat_valid[k] = feat_valid
         self.kf_obs_mp[k] = obs_mp
+        self.kf_uright[k] = uright if uright is not None else -1.0
         self.kf_prev[k] = prev_kf
         if vel is not None:
             self.kf_vel[k] = vel
