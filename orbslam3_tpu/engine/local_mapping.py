@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from orbslam3_tpu.core import lie, robust
 from orbslam3_tpu.imu import preintegration as preint
+from orbslam3_tpu.utils import timing
 from orbslam3_tpu.kernels import orb_descriptor as desc_k
 from orbslam3_tpu.opt.ba import BAProblem, bundle_adjust
 from orbslam3_tpu.slam_map.map_state import MapState
@@ -68,33 +69,46 @@ class LocalMapper:
         """Init-map BA (reference GlobalBundleAdjustemnt(20) after mono init)."""
         self._run_ba(window=[k0, k1], fixed=[k0], n_iters=n_iters)
 
-    def process_keyframe(self, k: int):
-        """Full LocalMapping::Run iteration for one new keyframe."""
+    def process_keyframe(self, k: int, abort=None):
+        """Full LocalMapping::Run iteration for one new keyframe.
+
+        `abort` (nullary callable) interrupts the local-BA stage when a new
+        keyframe is queued (mbAbortBA semantics)."""
         self._kf_counter += 1
-        self._cull_map_points()
-        self._create_new_map_points(k)
-        self._fuse_neighbors(k)
-        # refresh normals / scale bands / distinctive descriptors of every
-        # point this KF observes (reference ProcessNewKeyFrame's
-        # UpdateNormalAndDepth + ComputeDistinctiveDescriptors,
-        # LocalMapping.cc:302-342, and point creation at :652-668)
-        self.map.update_point_stats(self.map.kf_obs_mp[k])
+        # map-mutating stages run under the map mutex (mMutexMapUpdate);
+        # the BA device solve below releases it so tracking can proceed
+        with self.map.lock:
+            with timing.stage("lm.cull_mps"):
+                self._cull_map_points()
+            with timing.stage("lm.triangulate"):
+                self._create_new_map_points(k)
+            with timing.stage("lm.fuse"):
+                self._fuse_neighbors(k)
+            # refresh normals / scale bands / distinctive descriptors of
+            # every point this KF observes (reference ProcessNewKeyFrame's
+            # UpdateNormalAndDepth + ComputeDistinctiveDescriptors,
+            # LocalMapping.cc:302-342, and point creation at :652-668)
+            self.map.update_point_stats(self.map.kf_obs_mp[k])
         # local BA dispatch (LocalMapping.cc:133-160): inertial window BA once
         # IMU is initialized, else visual covisibility-window BA
-        if self.map.imu_initialized and self.imu_calib is not None:
-            from orbslam3_tpu.imu import init as imu_init
-            imu_init.full_inertial_ba(
-                self.map, self.imu_calib, self.camera,
-                n_iters=self.cfg.ba_iters,
-                points_cap=self.cfg.ba_points_cap,
-                obs_cap=self.cfg.ba_obs_cap,
-                window=self.cfg.inertial_window_kfs)
-        else:
-            window = [k] + list(self.map.covisibility(k, min_shared=15)[: self.cfg.window_kfs - 1])
-            fixed = self._fixed_border(window)
-            self._run_ba(window, fixed, self.cfg.ba_iters)
-        self._imu_init_ladder(k)
-        self._cull_keyframes(k)
+        with timing.stage("lm.local_ba"):
+            if self.map.imu_initialized and self.imu_calib is not None:
+                from orbslam3_tpu.imu import init as imu_init
+                imu_init.full_inertial_ba(
+                    self.map, self.imu_calib, self.camera,
+                    n_iters=self.cfg.ba_iters,
+                    points_cap=self.cfg.ba_points_cap,
+                    obs_cap=self.cfg.ba_obs_cap,
+                    window=self.cfg.inertial_window_kfs)
+            else:
+                window = [k] + list(self.map.covisibility(k, min_shared=15)[: self.cfg.window_kfs - 1])
+                fixed = self._fixed_border(window)
+                self._run_ba(window, fixed, self.cfg.ba_iters, abort=abort)
+        with self.map.lock:
+            with timing.stage("lm.imu_init"):
+                self._imu_init_ladder(k)
+            with timing.stage("lm.cull_kfs"):
+                self._cull_keyframes(k)
 
     # ------------------------------------------------------------- imu ladder
     def _imu_init_ladder(self, k: int):
@@ -370,12 +384,35 @@ class LocalMapper:
         # order by covisibility weight (most connected first)
         return fixed[: self.cfg.fixed_kfs]
 
-    def _run_ba(self, window: list[int], fixed: list[int], n_iters: int):
+    def _run_ba(self, window: list[int], fixed: list[int], n_iters: int,
+                abort=None):
+        """`abort` is an optional nullary callable (the reference's
+        `mbAbortBA` flag, LocalMapping.cc:292): when it turns true —
+        a new keyframe is waiting — the BA result is discarded so the
+        mapping thread can service the queue (interrupted LBA applies no
+        update)."""
         m = self.map
         cam = self.camera
         all_kfs = list(window) + list(fixed)
         if len(window) == 0:
             return
+        if abort is not None and abort():
+            return
+        m.lock.acquire()  # assembly reads a consistent map snapshot
+        try:
+            prob = self._assemble_ba(window, fixed, all_kfs)
+        finally:
+            m.lock.release()
+        if prob is None:
+            return
+        prob, fixed_mask, mp_ids, kk, slots, mm, info, O = prob
+        out, costs, ba_outlier = bundle_adjust(prob, cam, n_iters=n_iters)
+        with m.lock:
+            self._apply_ba_result(out, ba_outlier, all_kfs, fixed_mask,
+                                  mp_ids, kk, slots, mm, info, O, abort)
+
+    def _assemble_ba(self, window, fixed, all_kfs):
+        m = self.map
         if len(fixed) == 0 and len(window) >= 2:
             fixed = [window[-1]]  # gauge: fix one
             all_kfs = list(window)
@@ -438,7 +475,13 @@ class LocalMapper:
             fixed_lm=jnp.asarray(np.arange(P_cap) >= len(mp_ids)),
             **st_kw,
         )
-        out, costs, ba_outlier = bundle_adjust(prob, cam, n_iters=n_iters)
+        return prob, fixed_mask, mp_ids, kk, slots, mm, info, O
+
+    def _apply_ba_result(self, out, ba_outlier, all_kfs, fixed_mask, mp_ids,
+                         kk, slots, mm, info, O, abort):
+        m = self.map
+        if abort is not None and abort():
+            return  # interrupted: discard, service the queue
 
         # write back
         R_new = np.asarray(out.R)

@@ -46,6 +46,9 @@ class SystemConfig:
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
     imu_calib: object = None  # ImuCalib for IMU_* sensors
     use_loop_closing: bool = True
+    # run LocalMapping/LoopClosing on a worker thread with a KF queue +
+    # abortable BA (reference System.cc:198,215); False = synchronous
+    async_mapping: bool = False
     # LOST with a map this mature stores it and spawns a fresh one
     # (Tracking.cc:2147-2152: >10 KFs); smaller maps are reset instead.
     min_kfs_to_store_map: int = 10
@@ -120,7 +123,7 @@ class Slam:
             mapper = _HookedMapper(
                 LocalMapper(self.camera, m, imu_calib=self._imu_calib(),
                             bf=self.cfg.tracker.bf),
-                self._on_keyframe)
+                self._on_keyframe, async_mode=self.cfg.async_mapping)
             tracker = Tracker(self.camera, m, self.cfg.tracker,
                               client_id=client_id, local_mapper=mapper,
                               relocalizer=self._relocalize,
@@ -224,12 +227,19 @@ class Slam:
             self.reset_active_map()
 
     def _rebind_all_trackers(self):
+        # stop old async workers before dropping their mappers
+        for mp in self._mappers.values():
+            if hasattr(mp, 'shutdown'):
+                try:
+                    mp.shutdown()
+                except Exception as e:
+                    self._log('backend_error', error=repr(e))
         m = self.atlas.active
         for cid, tracker in self.trackers.items():
             mapper = _HookedMapper(
                 LocalMapper(self.camera, m, imu_calib=self._imu_calib(),
                             bf=self.cfg.tracker.bf),
-                self._on_keyframe)
+                self._on_keyframe, async_mode=self.cfg.async_mapping)
             self._mappers[cid] = mapper
             old_traj = tracker.trajectory
             fresh = Tracker(self.camera, m, self.cfg.tracker,
@@ -383,7 +393,21 @@ class Slam:
         serialize.save_atlas(self.atlas, path, vocab=self.vocab)
         self._log('atlas_saved', path=path)
 
+    def flush(self):
+        """Drain async mapping queues (deterministic point for tests and
+        trajectory export)."""
+        for mp in self._mappers.values():
+            if hasattr(mp, 'flush'):
+                mp.flush()
+
     def shutdown(self, save_atlas_to: str = None):
+        self.flush()
+        for mp in self._mappers.values():
+            if hasattr(mp, 'shutdown'):
+                try:
+                    mp.shutdown()
+                except Exception as e:
+                    self._log('backend_error', error=repr(e))
         if save_atlas_to:
             self.save_atlas(save_atlas_to)
         self._log('shutdown')
@@ -406,15 +430,39 @@ class Slam:
 
 class _HookedMapper:
     """LocalMapper wrapper that fires the system's post-KF hook — the
-    LocalMapping -> LoopClosing queue handoff (`LocalMapping.cc:254`)."""
+    LocalMapping -> LoopClosing queue handoff (`LocalMapping.cc:254`).
 
-    def __init__(self, mapper: LocalMapper, on_kf):
+    In async mode the keyframe is enqueued to an `AsyncBackend` worker
+    instead (reference thread architecture, System.cc:198,215): tracking
+    returns immediately and the worker runs mapping + the hook."""
+
+    def __init__(self, mapper: LocalMapper, on_kf, async_mode: bool = False):
         self.mapper = mapper
         self._on_kf = on_kf
+        self.backend = None
+        if async_mode:
+            from .async_engine import AsyncBackend
+
+            def process(k, abort):
+                # mapping + system hook (loop closing) in queue order
+                self.mapper.process_keyframe(k, abort=abort)
+                self._on_kf(k)
+            self.backend = AsyncBackend(process)
 
     def process_keyframe(self, k: int):
+        if self.backend is not None:
+            self.backend.insert_keyframe(k)
+            return
         self.mapper.process_keyframe(k)
         self._on_kf(k)
+
+    def flush(self):
+        if self.backend is not None:
+            self.backend.flush()
+
+    def shutdown(self):
+        if self.backend is not None:
+            self.backend.shutdown()
 
     def __getattr__(self, name):
         return getattr(self.mapper, name)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from orbslam3_tpu.core import lie
 from orbslam3_tpu.imu import preintegration as preint
 from orbslam3_tpu.kernels import orb_descriptor as desc_k
+from orbslam3_tpu.utils import timing
 from orbslam3_tpu.opt.pose_gn import optimize_pose
 from orbslam3_tpu.slam_map.map_state import MapState
 from orbslam3_tpu.vision import matcher
@@ -221,8 +222,9 @@ class Tracker:
 
     # ------------------------------------------------------------------ api
     def process_image(self, img: np.ndarray, ts: float):
-        feats = extract_features(jnp.asarray(img, jnp.float32),
-                                 n_features=self.cfg.n_features)
+        with timing.stage("track.extract"):
+            feats = extract_features(jnp.asarray(img, jnp.float32),
+                                     n_features=self.cfg.n_features)
         return self.process_features(feats, ts)
 
     def process_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
@@ -273,7 +275,8 @@ class Tracker:
         Returns the world->camera pose (R, t) or None while uninitialized.
         """
         self.frame_id += 1
-        self._pre_cur = self._preintegrate_to(ts)
+        with timing.stage("track.imu_integrate"):
+            self._pre_cur = self._preintegrate_to(ts)
         if self._pre_cur is not None:
             self._pre_frames.append(self._pre_cur)
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
@@ -498,21 +501,22 @@ class Tracker:
             R_pred = self._vel_R @ self.R_cw
             t_pred = self._vel_R @ self.t_cw + self._vel_t
 
-        local_ids = self._local_map_points()
-        if len(local_ids) == 0:
-            return False
-        K = cfg.local_points_cap
-        ids_p = np.full(K, 0, np.int32)
-        valid_p = np.zeros(K, bool)
-        n = min(len(local_ids), K)
-        ids_p[:n] = local_ids[:n]
-        valid_p[:n] = True
+        with m.lock:
+            local_ids = self._local_map_points()
+            if len(local_ids) == 0:
+                return False
+            K = cfg.local_points_cap
+            ids_p = np.full(K, 0, np.int32)
+            valid_p = np.zeros(K, bool)
+            n = min(len(local_ids), K)
+            ids_p[:n] = local_ids[:n]
+            valid_p[:n] = True
 
-        mp_pos = jnp.asarray(m.mp_pos[ids_p])
-        mp_planes = desc_k.descriptor_planes(jnp.asarray(m.mp_desc[ids_p]))
-        mp_normal = jnp.asarray(m.mp_normal[ids_p])
-        mp_min_d = jnp.asarray(m.mp_min_dist[ids_p])
-        mp_max_d = jnp.asarray(m.mp_max_dist[ids_p])
+            mp_pos = jnp.asarray(m.mp_pos[ids_p])
+            mp_planes = desc_k.descriptor_planes(jnp.asarray(m.mp_desc[ids_p]))
+            mp_normal = jnp.asarray(m.mp_normal[ids_p])
+            mp_min_d = jnp.asarray(m.mp_min_dist[ids_p])
+            mp_max_d = jnp.asarray(m.mp_max_dist[ids_p])
         f_planes = desc_k.descriptor_planes(feats.desc)
 
         frustum_box = [None]
@@ -627,7 +631,8 @@ class Tracker:
 
         # keyframe policy
         if self._need_new_keyframe(n_in):
-            self._create_keyframe(feats, ts, mp_ids)
+            with timing.stage("track.new_kf"):
+                self._create_keyframe(feats, ts, mp_ids)
         return True
 
     def _optimize_pose_vi(self, R1, t1, feats, ids_p, sel, fidx_np, ts):
@@ -730,6 +735,11 @@ class Tracker:
 
     def _create_keyframe(self, feats: FrameFeatures, ts: float,
                          mp_ids: np.ndarray):
+        with self.map.lock:
+            self._create_keyframe_locked(feats, ts, mp_ids)
+
+    def _create_keyframe_locked(self, feats: FrameFeatures, ts: float,
+                                mp_ids: np.ndarray):
         f = jax.device_get(feats)
         # merge the per-frame preintegrations since the last KF into one
         # KF->KF inertial edge (reference mpImuPreintegratedFromLastKF,

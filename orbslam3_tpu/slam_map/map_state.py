@@ -22,6 +22,7 @@ static so every downstream kernel compiles once.
 from __future__ import annotations
 
 import dataclasses
+import threading
 
 import numpy as np
 
@@ -90,6 +91,10 @@ class MapState:
         # (reference SaveTrajectoryTUM walks bad KFs' mTcp up the spanning
         # tree, System.cc:759-874)
         self.culled_anchor: dict[int, tuple] = {}
+        # map-update mutex (reference Map::mMutexMapUpdate, Map.h:141):
+        # held by the async mapping worker around map-mutating stages and by
+        # the tracker around multi-array consistent reads/inserts
+        self.lock = threading.RLock()
         self.imu_initialized = False
         self.iba_stage = 0  # 0: none, 1: VIBA1 done, 2: VIBA2 done
 
