@@ -1,11 +1,21 @@
-"""Keyframe database: place-recognition queries over BoW vectors.
+"""Keyframe database: place-recognition queries over sparse BoW vectors.
 
 TPU-native replacement for the reference's `KeyFrameDatabase`
-(`/root/reference/src/KeyFrameDatabase.cc`, `include/KeyFrameDatabase.h:63-80`):
-the DBoW2 inverted file (word -> keyframes) becomes a dense BoW matrix
-(max_kf, n_words) resident on device; every query — word-sharing counts,
-L1 scores, covisibility-group accumulation — is one batched matmul/reduction
-instead of per-word list walks, which is the MXU-friendly formulation.
+(`/root/reference/src/KeyFrameDatabase.cc`, `include/KeyFrameDatabase.h:63-80`).
+
+Scaling design: DBoW2's inverted file (word -> keyframe list) is replaced by
+a *sparse per-keyframe word table* — `(max_kf, F)` word ids + tf-idf weights
+with F = features/frame — instead of a dense `(max_kf, n_words)` matrix.
+Dense rows cap the vocabulary at toy sizes (1M words x 2k KFs would be 8 GB);
+the sparse table is vocabulary-size-independent, and every query densifies
+only the QUERY vector (n_words floats, ~4 MB even at 1M words):
+
+  * shared-word counts: gather query presence at each KF's word slots, sum;
+  * L1 tf-idf score: 1 - 0.5*|a-b|_1 over L1-normalized vectors reduces to
+    sum over common words of (a + b - |a-b|)/2 via the same gather.
+
+Both are one `(M, F)` gather + row reduction — batched, MXU/VPU friendly,
+no per-word list walks.
 
 Queries mirrored:
   * `DetectRelocalizationCandidates` (KeyFrameDatabase.cc:578-719): shared-word
@@ -18,57 +28,91 @@ Queries mirrored:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import jax.numpy as jnp
 
-from orbslam3_tpu.place.vocab import Vocabulary, bow_vector, descend
+from orbslam3_tpu.place.vocab import Vocabulary, descend
+
+
+class BowVec(NamedTuple):
+    """Sparse tf-idf BoW vector: unique word ids + L1-normalized weights."""
+
+    words: np.ndarray    # (F,) int64, -1 padding
+    weights: np.ndarray  # (F,) float32
 
 
 class KeyFrameDatabase:
-    def __init__(self, vocab: Vocabulary, max_keyframes: int = 512):
+    def __init__(self, vocab: Vocabulary, max_keyframes: int = 512,
+                 words_per_frame: int = 1024):
         self.vocab = vocab
         self._levels, self._valids, self._idf = vocab.device_tensors()
-        M, W = max_keyframes, vocab.n_words
-        self.bow = np.zeros((M, W), np.float32)     # L1-normalized tf-idf rows
-        self.present = np.zeros((M, W), bool)       # word-occurrence mask
+        self._idf_np = np.asarray(self._idf)
+        M, F = max_keyframes, words_per_frame
+        self.F = F
+        self.kf_words = np.full((M, F), -1, np.int64)
+        self.kf_weights = np.zeros((M, F), np.float32)
         self.active = np.zeros(M, bool)
         self.map_of = np.full(M, -1, np.int64)      # owning map id (Atlas)
 
     # -- ingestion -------------------------------------------------------------
-    def compute_bow(self, desc_packed: np.ndarray, valid: np.ndarray):
-        """(N,8) uint32 + (N,) bool -> (words, bow vector) on device."""
-        words = descend(jnp.asarray(desc_packed), self._levels, self._valids,
-                        self.vocab.k)
-        v = bow_vector(words, jnp.asarray(valid), self._idf)
-        return np.asarray(words), np.asarray(v)
+    def _sparse_bow(self, words: np.ndarray, valid: np.ndarray) -> BowVec:
+        w = words[valid]
+        uniq, counts = np.unique(w, return_counts=True)
+        tfidf = counts.astype(np.float32) * self._idf_np[uniq]
+        n1 = tfidf.sum()
+        if n1 > 0:
+            tfidf = tfidf / n1
+        out_w = np.full(self.F, -1, np.int64)
+        out_x = np.zeros(self.F, np.float32)
+        n = min(len(uniq), self.F)
+        out_w[:n] = uniq[:n]
+        out_x[:n] = tfidf[:n]
+        return BowVec(out_w, out_x)
 
-    def add(self, kf: int, bow_vec: np.ndarray, map_id: int = 0):
-        self.bow[kf] = bow_vec
-        self.present[kf] = bow_vec > 0
+    def compute_bow(self, desc_packed: np.ndarray, valid: np.ndarray):
+        """(N,8) uint32 + (N,) bool -> (per-feature words, sparse BowVec)."""
+        words = np.asarray(descend(jnp.asarray(desc_packed), self._levels,
+                                   self._valids, self.vocab.k))
+        return words, self._sparse_bow(words, np.asarray(valid))
+
+    def add(self, kf: int, bow: BowVec, map_id: int = 0):
+        self.kf_words[kf] = bow.words
+        self.kf_weights[kf] = bow.weights
         self.active[kf] = True
         self.map_of[kf] = map_id
 
     def erase(self, kf: int):
         self.active[kf] = False
-        self.bow[kf] = 0
-        self.present[kf] = False
+        self.kf_words[kf] = -1
+        self.kf_weights[kf] = 0
 
     def clear_map(self, map_id: int):
         m = self.map_of == map_id
         self.active[m] = False
-        self.bow[m] = 0
-        self.present[m] = False
+        self.kf_words[m] = -1
+        self.kf_weights[m] = 0
 
     # -- queries ---------------------------------------------------------------
-    def _scores(self, query_bow: np.ndarray, candidate_mask: np.ndarray):
-        """Shared-word counts + L1 scores for all active KFs (one matmul)."""
+    def _scores(self, query: BowVec, candidate_mask: np.ndarray):
+        """Shared-word counts + L1 scores for all active KFs: densify only
+        the query over the vocabulary, then one (M,F) gather + reduce."""
+        W = self.vocab.n_words
+        qw = np.zeros(W + 1, np.float32)   # slot W absorbs -1 padding
+        qp = np.zeros(W + 1, np.float32)
+        qsel = query.words >= 0
+        qw[query.words[qsel]] = query.weights[qsel]
+        qp[query.words[qsel]] = 1.0
+        idx = np.where(self.kf_words >= 0, self.kf_words, W)
+        a = qw[idx]                         # (M,F) query weight at KF's words
+        b = self.kf_weights
+        present = (self.kf_words >= 0) & (a > 0)
+        shared = (present & (qp[idx] > 0)).sum(axis=1).astype(np.float32)
+        # L1 similarity: 1 - 0.5|a-b|_1 = sum_common (a + b - |a-b|) / 2
+        score = (np.where(present, a + b - np.abs(a - b), 0.0).sum(axis=1)
+                 * 0.5)
         mask = self.active & candidate_mask
-        qb = jnp.asarray(query_bow)
-        shared = jnp.asarray(self.present, jnp.float32) @ (qb > 0).astype(
-            jnp.float32)
-        score = 1.0 - 0.5 * jnp.abs(jnp.asarray(self.bow) - qb[None]).sum(1)
-        shared = np.array(shared)
-        score = np.array(score)
         shared[~mask] = 0
         score[~mask] = -1.0
         return shared, score
@@ -103,11 +147,11 @@ class KeyFrameDatabase:
         return np.asarray(out, np.int64)
 
     def detect_relocalization_candidates(
-            self, query_bow: np.ndarray, covis_fn, map_id: int | None = None):
+            self, query: BowVec, covis_fn, map_id: int | None = None):
         """Candidates for relocalization (KeyFrameDatabase.cc:578-719)."""
         cmask = np.ones_like(self.active) if map_id is None else (
             self.map_of == map_id)
-        shared, score = self._scores(query_bow, cmask)
+        shared, score = self._scores(query, cmask)
         if shared.max() <= 0:
             return np.zeros(0, np.int64)
         min_common = 0.8 * shared.max()
@@ -117,7 +161,7 @@ class KeyFrameDatabase:
         return self._group_accumulate(score, cands, covis_fn, ratio=0.75)
 
     def detect_n_best_candidates(
-            self, query_bow: np.ndarray, exclude: set[int], covis_fn,
+            self, query: BowVec, exclude: set[int], covis_fn,
             n_best: int = 3):
         """Top-N loop/merge candidates (KeyFrameDatabase.cc:440-576),
         excluding the query keyframe's own covisible set."""
@@ -125,7 +169,7 @@ class KeyFrameDatabase:
         for e in exclude:
             if 0 <= e < cmask.size:
                 cmask[e] = False
-        shared, score = self._scores(query_bow, cmask)
+        shared, score = self._scores(query, cmask)
         if shared.max() <= 0:
             return np.zeros(0, np.int64)
         min_common = 0.8 * shared.max()

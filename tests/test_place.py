@@ -221,3 +221,32 @@ class TestSim3:
                                  fix_scale=True)
         assert float(s) == 1.0
         np.testing.assert_allclose(np.asarray(R), Rgt, atol=1e-4)
+
+
+class TestScaleVocabulary:
+    """Production-scale place recognition: 10k-word tree + sparse inverted
+    table (VERDICT round-1 item 8 — the dense (KF x words) matrix capped the
+    vocabulary at toy sizes)."""
+
+    def test_10k_word_vocab_and_sparse_db(self):
+        rng = np.random.default_rng(7)
+        packed = rng.integers(0, 2 ** 32, (20000, 8),
+                              dtype=np.uint64).astype(np.uint32)
+        vocab = build_vocabulary(packed, k=10, depth=4, seed=0)
+        assert vocab.n_words == 10000
+        db = KeyFrameDatabase(vocab, max_keyframes=256)
+        # distinct frames + a near-duplicate pair
+        frames = [rng.integers(0, 2 ** 32, (300, 8),
+                               dtype=np.uint64).astype(np.uint32)
+                  for _ in range(12)]
+        dup = frames[4].copy()
+        dup[:40] = rng.integers(0, 2 ** 32, (40, 8),
+                                dtype=np.uint64).astype(np.uint32)
+        for i, d in enumerate(frames):
+            _, bow = db.compute_bow(d, np.ones(300, bool))
+            db.add(i, bow)
+        _, qb = db.compute_bow(dup, np.ones(300, bool))
+        cands = db.detect_n_best_candidates(qb, set(), lambda k: [], n_best=3)
+        assert len(cands) >= 1 and cands[0] == 4
+        # memory: sparse table is vocab-size independent
+        assert db.kf_words.nbytes + db.kf_weights.nbytes < 16 * 2 ** 20
