@@ -206,6 +206,10 @@ class Settings:
             bf = float(np.linalg.norm(self.T_c1_c2[:3, 3])) * fx
         tracker = TrackerConfig(n_features=self.n_features, bf=bf,
                                 th_depth=self.th_depth)
+        if self.stereo or self.inertial:
+            # reference thRefRatio: 0.75 for stereo/inertial, 0.9 mono
+            # (Tracking::NeedNewKeyFrame, Tracking.cc:3208 region)
+            tracker.kf_ref_ratio = 0.75
         return SystemConfig(
             sensor=sensor, map=mc, tracker=tracker,
             use_loop_closing=self.loop_closing)

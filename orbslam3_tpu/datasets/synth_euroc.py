@@ -26,6 +26,74 @@ def _quat_wxyz(R: np.ndarray) -> np.ndarray:
     return q if q[0] >= 0 else -q
 
 
+def excited_trajectory(n_frames: int, fps: float, imu_rate: float,
+                       center, radius: float, arc: float,
+                       excitation: float = 0.06, seed: int = 0):
+    """Orbit + sinusoidal excitation with ANALYTICALLY consistent IMU.
+
+    Monocular-inertial scale is only observable with real acceleration
+    (EuRoC MAVs shake at 2-5 m/s^2; a constant-speed orbit has ~0.05 m/s^2
+    and the scale/gravity MAP collapses to the s->0 gravity-only solution).
+    Excitation sinusoids (~1.5-2.5 Hz, amplitude `excitation` m) give
+    a_rms ~ 2-4 m/s^2. The dense trajectory is sampled at the IMU rate and
+    differentiated there (finite-difference error (2*pi*f/rate)^2 ~ 0.5 %),
+    so preintegration matches ground truth to mm — unlike differentiating
+    at the frame rate, which aliases the excitation.
+
+    Returns (R_cw (F,3,3), t_cw (F,3), frame_idx, imu_t, gyro (K,3),
+    acc (K,3)) where imu rows are midpoint samples for intervals
+    [imu_t[k], imu_t[k+1]].
+    """
+    rng = np.random.default_rng(seed + 77)
+    T = n_frames / fps
+    stride = int(round(imu_rate / fps))
+    n_dense = n_frames * stride + 1
+    t = np.arange(n_dense) / imu_rate
+    cx, cy, cz = center
+    th = arc * (t / T) - arc / 2
+    C = np.stack([cx + radius * np.sin(th),
+                  cy + 0.4 * np.sin(2 * th),
+                  cz - radius * np.cos(th)], axis=-1)
+    freqs = rng.uniform(1.4, 2.6, 3)
+    phases = rng.uniform(0, 2 * np.pi, 3)
+    for ax in range(3):
+        C[:, ax] += excitation * np.sin(2 * np.pi * freqs[ax] * t
+                                        + phases[ax])
+    # look-at rotations (z toward scene center)
+    look = np.asarray(center, np.float64)[None] - C
+    z = look / np.linalg.norm(look, axis=1, keepdims=True)
+    up = np.array([0.0, 1.0, 0.0])
+    x = np.cross(np.broadcast_to(up, z.shape), z)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    y = np.cross(z, x)
+    R_wc = np.stack([x, y, z], axis=-1)            # (K,3,3)
+    R_cw = np.swapaxes(R_wc, 1, 2)
+    t_cw = -np.einsum("kij,kj->ki", R_cw, C)
+
+    # analytic-at-dense-rate derivatives
+    dt = 1.0 / imu_rate
+    g_w = np.array([0.0, 0.0, -9.81])
+    a_w = (C[2:] - 2 * C[1:-1] + C[:-2]) / (dt * dt)  # at t[1..K-2]
+    from scipy.spatial.transform import Rotation as _Rot
+    # midpoint gyro for interval k -> k+1: log(R_wb_k^T R_wb_{k+1}) / dt
+    K = n_dense - 1
+    gyro = np.zeros((K, 3))
+    acc = np.zeros((K, 3))
+    Rel = np.einsum("kji,kjl->kil", R_wc[:-1], R_wc[1:])
+    gyro = _Rot.from_matrix(Rel).as_rotvec() / dt
+    # specific force at the interval midpoint (body frame = camera frame)
+    a_mid = np.empty((K, 3))
+    a_mid[1:-1] = 0.5 * (a_w[:-1] + a_w[1:])
+    a_mid[0] = a_w[0]
+    a_mid[-1] = a_w[-1]
+    R_mid = R_wc[:-1]  # first-order midpoint rotation
+    acc = np.einsum("kji,kj->ki", R_mid, a_mid - g_w[None])
+    frame_idx = np.arange(n_frames) * stride
+    return (R_cw[frame_idx].astype(np.float64),
+            t_cw[frame_idx].astype(np.float64),
+            frame_idx, t, gyro, acc)
+
+
 CONFIG_TEMPLATE = """%YAML:1.0
 File.version: "1.0"
 Camera.type: "PinHole"
@@ -80,10 +148,8 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
     scene = BoxScene.default(seed=seed)
     center = (scene.lo + scene.hi) / 2.0
     center = (float(center[0]), float(center[1]), float(center[2]) + 3.0)
-    R_cw, t_cw = synth.orbit_trajectory(n_frames=n_frames, radius=radius,
-                                        arc=arc, center=center)
-    R_cw = R_cw.astype(np.float64)
-    t_cw = t_cw.astype(np.float64)
+    R_cw, t_cw, frame_idx, imu_t, imu_gyro, imu_acc = excited_trajectory(
+        n_frames, fps, imu_rate, center, radius, arc, seed=seed)
     t0 = 100.0
     frame_ts = t0 + np.arange(n_frames) / fps
 
@@ -118,27 +184,23 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
                   "w") as f:
             f.write("\n".join(lines) + "\n")
 
-    # IMU: body == camera; samples span [t0 - 0.1, end]
-    kw = dict(gyro_noise=2e-4, acc_noise=2e-3) if imu_noise else {}
-    batches = synth.imu_orbit_samples(R_cw.astype(np.float32),
-                                      t_cw.astype(np.float32),
-                                      frame_ts - frame_ts[0],
-                                      rate=imu_rate, seed=seed, **kw)
+    # IMU: body == camera; midpoint samples for [imu_t[k], imu_t[k+1]]
+    # written at the interval END (what `preintegrate` integrates with)
+    rng_imu = np.random.default_rng(seed + 5)
+    gyr_w = imu_gyro + (rng_imu.normal(0, 2e-4, imu_gyro.shape)
+                        if imu_noise else 0.0)
+    acc_w = imu_acc + (rng_imu.normal(0, 2e-3, imu_acc.shape)
+                       if imu_noise else 0.0)
     rows = ["#timestamp [ns],w_RS_S_x,w_RS_S_y,w_RS_S_z,"
             "a_RS_S_x,a_RS_S_y,a_RS_S_z"]
-    t_acc = frame_ts[0]
-    # one leading stationary-rate sample before the first frame
-    if batches:
-        acc0, gyr0, _ = batches[0]
-        ns = int(round((t_acc - 0.005) * 1e9))
-        rows.append(",".join([str(ns)] + [f"{x:.9f}" for x in gyr0[0]]
-                             + [f"{x:.9f}" for x in acc0[0]]))
-    for acc, gyr, dts in batches:
-        for k in range(len(dts)):
-            t_acc += float(dts[k])
-            ns = int(round(t_acc * 1e9))
-            rows.append(",".join([str(ns)] + [f"{x:.9f}" for x in gyr[k]]
-                                 + [f"{x:.9f}" for x in acc[k]]))
+    # one leading sample just before the first frame
+    ns = int(round((t0 - 0.005) * 1e9))
+    rows.append(",".join([str(ns)] + [f"{x:.9f}" for x in gyr_w[0]]
+                         + [f"{x:.9f}" for x in acc_w[0]]))
+    for k in range(len(gyr_w)):
+        ns = int(round((t0 + imu_t[k + 1]) * 1e9))
+        rows.append(",".join([str(ns)] + [f"{x:.9f}" for x in gyr_w[k]]
+                             + [f"{x:.9f}" for x in acc_w[k]]))
     with open(os.path.join(imu_dir, "data.csv"), "w") as f:
         f.write("\n".join(rows) + "\n")
 

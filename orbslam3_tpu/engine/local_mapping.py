@@ -48,6 +48,8 @@ class LocalMapperConfig:
     inertial_window_kfs: int = 10     # LocalInertialBA temporal window
     post_init_viba_iters: int = 24    # one-shot full VI-BA after each rung
                                       # (reference FullInertialBA(100))
+    scale_refine_every_s: float = 10.0  # mono ScaleRefinement cadence
+    scale_refine_until_s: float = 75.0  # (LocalMapping.cc:233-244)
 
 
 class LocalMapper:
@@ -60,6 +62,7 @@ class LocalMapper:
         self.imu_calib = imu_calib
         self.bf = bf  # baseline*fx: >0 enables stereo residuals in BA
         self._t_imu_init: float | None = None  # ts of first IMU init (mTinit)
+        self._last_scale_refine: float = -np.inf
         # recent map points to watch for culling: list of (mp_id, created_kf_count)
         self._recent_mps: list[tuple[int, int]] = []
         self._kf_counter = 0
@@ -125,6 +128,16 @@ class LocalMapper:
         span = float(m.kf_ts[kfs[-1]] - m.kf_ts[kfs[0]])
         now = float(m.kf_ts[k])
         if not m.imu_initialized:
+            # bad-IMU detector (LocalMapping.cc:140-150): enough time has
+            # passed but the platform barely moved — inertial init cannot
+            # succeed; flag for an active-map reset
+            if span >= 2.0 * cfg.imu_init_min_span_s:
+                centers = np.stack([-m.kf_R[i].T @ m.kf_t[i] for i in kfs])
+                dist = float(np.linalg.norm(np.diff(centers[-4:], axis=0),
+                                            axis=1).sum())
+                if dist < 0.02:
+                    m.bad_imu = True
+                    return
             if span < cfg.imu_init_min_span_s:
                 return
             out = imu_init.initialize_imu(m, self.imu_calib,
@@ -150,6 +163,16 @@ class LocalMapper:
                 m.iba_stage = 2
                 imu_init.full_inertial_ba(m, self.imu_calib, self.camera,
                                           n_iters=cfg.post_init_viba_iters)
+                self._last_scale_refine = now
+        elif (m.iba_stage == 2 and self.bf <= 0
+              and elapsed <= cfg.scale_refine_until_s
+              and now - self._last_scale_refine >= cfg.scale_refine_every_s):
+            # periodic monocular scale refinement (ScaleRefinement,
+            # LocalMapping.cc:233-244,1433-1500: every ~10 s up to 75 s,
+            # scale+gravity only — biases pinned by huge priors)
+            self._last_scale_refine = now
+            imu_init.initialize_imu(m, self.imu_calib,
+                                    prior_gyro=1e6, prior_acc=1e10)
 
     # --------------------------------------------------------------- culling
     def _cull_map_points(self):
@@ -189,6 +212,19 @@ class LocalMapper:
         # still being consolidated)
         valid_ids = m.keyframe_ids()
         newest = set(valid_ids[np.argsort(-m.kf_frame_id[valid_ids])[:2]].tolist())
+        # vectorized redundancy statistics: one pass over ALL observations
+        # builds a per-point cumulative octave histogram; each candidate KF's
+        # redundancy test is then a row gather instead of a full-map scan
+        # per observation (reference walks per-MP observation maps,
+        # LocalMapping.cc:906-1000; the per-slot nonzero scan here was
+        # O(KF^2 N^2) at scale)
+        n_lvls = 8
+        kk_all, ss_all = np.nonzero(m.kf_valid[:, None] & (m.kf_obs_mp >= 0))
+        mm_all = m.kf_obs_mp[kk_all, ss_all]
+        oo_all = np.clip(m.kf_octave[kk_all, ss_all], 0, n_lvls - 1)
+        oct_hist = np.zeros((m.cfg.max_points, n_lvls), np.int32)
+        np.add.at(oct_hist, (mm_all, oo_all), 1)
+        oct_cum = np.cumsum(oct_hist, axis=1)  # observers with octave <= o
         for kf in m.covisibility(k, min_shared=15):
             kf = int(kf)
             if kf == k or not m.kf_valid[kf] or kf in newest:
@@ -199,15 +235,13 @@ class LocalMapper:
             slots = np.nonzero(obs >= 0)[0]
             if len(slots) < 20:
                 continue
-            n_redundant = 0
-            for s in slots:
-                mp = obs[s]
-                oct_here = m.kf_octave[kf, s]
-                kk, ss = np.nonzero(m.kf_obs_mp == mp)
-                other = (kk != kf) & m.kf_valid[kk]
-                finer = m.kf_octave[kk, ss] <= oct_here + 1
-                if (other & finer).sum() >= 3:
-                    n_redundant += 1
+            mps = obs[slots]
+            octs = np.clip(m.kf_octave[kf, slots] + 1, 0, n_lvls - 1)
+            total_finer = oct_cum[mps, octs]
+            # exclude this KF's own observation where it counts as "finer"
+            own_oct = np.clip(m.kf_octave[kf, slots], 0, n_lvls - 1)
+            total_finer = total_finer - (own_oct <= octs)
+            n_redundant = int((total_finer >= 3).sum())
             if n_redundant / len(slots) > self.cfg.kf_cull_redundancy:
                 nxt = np.nonzero(m.kf_valid & (m.kf_prev == kf))[0]
                 if self.imu_calib is not None:
@@ -235,6 +269,9 @@ class LocalMapper:
                 for nk in nxt:
                     m.kf_prev[nk] = m.kf_prev[kf]
                 m.remove_keyframe(kf)
+                # keep the redundancy statistics exact for later candidates
+                np.add.at(oct_hist, (mps, own_oct), -1)
+                oct_cum[mps] = np.cumsum(oct_hist[mps], axis=1)
 
     # --------------------------------------------------- new point creation
     def _create_new_map_points(self, k: int):
@@ -355,13 +392,18 @@ class LocalMapper:
             fidx_np = np.asarray(fidx)
             sel = np.nonzero(matched_np)[0]
             counts = m.observation_count()
+            # membership bitmap avoids an O(N) row scan per match
+            obs_t = m.kf_obs_mp[target]
+            has_mp = np.zeros(m.cfg.max_points, bool)
+            has_mp[obs_t[obs_t >= 0]] = True
             for i in sel:
                 slot = fidx_np[i]
                 mp = int(ids_p[i])
                 existing = int(m.kf_obs_mp[target, slot])
                 if existing < 0:
-                    if not (m.kf_obs_mp[target] == mp).any():
+                    if not has_mp[mp]:
                         m.kf_obs_mp[target, slot] = mp
+                        has_mp[mp] = True
                 elif existing != mp and m.mp_valid[existing]:
                     # duplicate landmark: merge, keeping the better-observed
                     # one (reference Fuse -> MapPoint::Replace)

@@ -66,11 +66,12 @@ class LoopCloser:
     """Host actor: consumes keyframes, detects/corrects loops and merges."""
 
     def __init__(self, camera, atlas: Atlas, db: KeyFrameDatabase,
-                 cfg: LoopCloserConfig | None = None):
+                 cfg: LoopCloserConfig | None = None, imu_calib=None):
         self.camera = camera
         self.atlas = atlas
         self.db = db
         self.cfg = cfg or LoopCloserConfig()
+        self.imu_calib = imu_calib  # enables MergeInertialBA on merges
         self._consistent_count = 0
         self._last_cand_uid = -1
         self._key = jax.random.PRNGKey(1234)
@@ -329,39 +330,56 @@ class LoopCloser:
             i = slot[int(k)]
             s0[i], R0[i], t0[i] = si, Ri, ti
 
-        # measurements from pre-correction poses (NonCorrectedSim3)
-        def meas(i_kf, j_kf):
-            Rj = old_R[j_kf] @ old_R[i_kf].T
-            tj = old_t[j_kf] - Rj @ old_t[i_kf]
-            return 1.0, Rj, tj
-
-        e_i, e_j, m_s, m_R, m_t, w = [], [], [], [], [], []
-        seen = set()
-
-        def add_edge(a, b, sm, Rm, tm, weight):
-            key = (min(a, b), max(a, b))
-            if key in seen:
-                return
-            seen.add(key)
-            e_i.append(slot[a]); e_j.append(slot[b])
-            m_s.append(sm); m_R.append(Rm); m_t.append(tm); w.append(weight)
-
+        # edge list as array ops (the reference assembles g2o edges in
+        # per-KF loops, Optimizer.cc:1561-1700; a Python-loop translation is
+        # O(edges) interpreter work — here the spanning-tree + covisibility
+        # pairs are deduplicated and their Sim3 measurements batched)
         inc = m.incidence()
         covis_w = (inc @ inc.T).astype(np.int64)
-        for k in kfs:
-            k = int(k)
-            p = int(m.kf_prev[k])
-            if p >= 0 and m.kf_valid[p]:
-                sm, Rm, tm = meas(k, p)
-                add_edge(k, p, sm, Rm, tm, 1.0)  # spanning tree
-            for j in np.nonzero(covis_w[k] >= cfg.covis_weight_essential)[0]:
-                if int(j) != k and m.kf_valid[j]:
-                    sm, Rm, tm = meas(k, int(j))
-                    add_edge(k, int(j), sm, Rm, tm, 1.0)
+        valid_col = m.kf_valid[None, :]
+        kf_mask = np.zeros(covis_w.shape[0], bool)
+        kf_mask[kfs] = True
+        strong = (covis_w >= cfg.covis_weight_essential) & kf_mask[None, :] \
+            & kf_mask[:, None] & valid_col
+        a_c, b_c = np.nonzero(strong)
+        keep = a_c < b_c  # dedup (a,b)/(b,a)
+        a_c, b_c = a_c[keep], b_c[keep]
+        # spanning-tree (temporal chain) pairs
+        prev = m.kf_prev[kfs]
+        has_p = (prev >= 0) & m.kf_valid[np.maximum(prev, 0)]
+        a_t = np.minimum(np.asarray(kfs)[has_p], prev[has_p])
+        b_t = np.maximum(np.asarray(kfs)[has_p], prev[has_p])
+        a_all = np.concatenate([a_t, a_c])
+        b_all = np.concatenate([b_t, b_c])
+        pair_key = a_all.astype(np.int64) * m.cfg.max_keyframes + b_all
+        _, first = np.unique(pair_key, return_index=True)
+        a_all, b_all = a_all[first], b_all[first]
+        # batched relative measurements from pre-correction poses
+        # (NonCorrectedSim3): R_ba = R_b R_a^T, t_ba = t_b - R_ba t_a
+        oldR_a = np.tile(np.eye(3, dtype=np.float32),
+                         (m.cfg.max_keyframes, 1, 1))
+        oldt_a = np.zeros((m.cfg.max_keyframes, 3), np.float32)
+        for i, Rv in old_R.items():
+            oldR_a[int(i)] = Rv
+        for i, tv in old_t.items():
+            oldt_a[int(i)] = tv
+        Ra, ta = oldR_a[a_all], oldt_a[a_all]
+        Rb, tb = oldR_a[b_all], oldt_a[b_all]
+        R_ba = Rb @ np.swapaxes(Ra, 1, 2)
+        t_ba = tb - np.einsum("eij,ej->ei", R_ba, ta)
+        slot_arr = np.full(m.cfg.max_keyframes, -1, np.int64)
+        slot_arr[kfs] = np.arange(M)
+        e_i = list(slot_arr[a_all])
+        e_j = list(slot_arr[b_all])
+        m_s = [1.0] * len(a_all)
+        m_R = list(R_ba)
+        m_t = list(t_ba)
+        w = [1.0] * len(a_all)
         # the loop edge, measured by the Sim3 solve: S_cur<-cand means
         # S_cur_w = S_loop o S_cand_w  =>  S_ji (j=cur, i=cand) = S_loop
-        add_edge(cand, cur, float(s_loop), np.asarray(R_loop),
-                 np.asarray(t_loop), 1.0)
+        e_i.append(slot[cand]); e_j.append(slot[cur])
+        m_s.append(float(s_loop)); m_R.append(np.asarray(R_loop))
+        m_t.append(np.asarray(t_loop)); w.append(1.0)
 
         # gauge per sensor (OptimizeEssentialGraph4DoF at Optimizer.cc:5292
         # for inertial maps; SE3 for stereo/RGB-D; full Sim3 for mono)
@@ -483,7 +501,77 @@ class LoopCloser:
         # seam fuse + welding-window BA around the seam
         window = [new_cur, cand]
         self._search_and_fuse(merged, window, cand)
-        self.run_global_ba(merged, fixed_kf=cand, n_iters=self.cfg.gba_iters)
+        if self.cfg.inertial and merged.imu_initialized \
+                and self.imu_calib is not None:
+            # MergeLocal2 path (LoopClosing.cc:1787): inertial maps weld at
+            # locked scale and run the windowed visual-inertial BA
+            # (MergeInertialBA, Optimizer.cc:3948) instead of a full GBA
+            from orbslam3_tpu.imu import init as imu_init
+            imu_init.full_inertial_ba(merged, self.imu_calib, self.camera,
+                                      n_iters=self.cfg.gba_iters,
+                                      window=10)
+        else:
+            # welding-window BA (LocalBundleAdjustment(pMainKF, ...),
+            # Optimizer.cc:3498): optimize the seam neighborhoods with the
+            # rest of the merged map fixed — NOT a full-map GBA
+            seam = {new_cur, cand}
+            for root in (new_cur, cand):
+                for nb in merged.covisibility(root, min_shared=10)[:8]:
+                    seam.add(int(nb))
+            self._window_ba(merged, sorted(seam),
+                            n_iters=self.cfg.gba_iters)
         ev = LoopEvent("merge", new_cur, cand, float(s), n_inl)
         ev.kf_map = kf_map  # type: ignore[attr-defined]
         return ev
+
+    def _window_ba(self, m: MapState, window: list[int], n_iters: int = 10,
+                   fixed_cap: int = 12):
+        """BA over a keyframe window + fixed observer border (the welding
+        BA's shape; Optimizer.cc:3498)."""
+        win = [k for k in window if m.kf_valid[k]]
+        if len(win) < 2:
+            return
+        obs_w = m.kf_obs_mp[win]
+        mp_ids = np.unique(obs_w[obs_w >= 0])
+        mp_ids = mp_ids[m.mp_valid[mp_ids]]
+        if len(mp_ids) == 0:
+            return
+        inc = m.incidence()
+        observers = np.nonzero(inc[:, mp_ids].any(axis=1))[0]
+        fixed = [int(x) for x in observers if int(x) not in set(win)]
+        fixed = fixed[:fixed_cap]
+        kfs = np.asarray(win + fixed, np.int64)
+        slot_lut = np.full(m.cfg.max_keyframes, -1, np.int64)
+        slot_lut[kfs] = np.arange(len(kfs))
+        lm_lut = np.full(m.cfg.max_points, -1, np.int64)
+        lm_lut[mp_ids] = np.arange(len(mp_ids))
+        kk, ss = np.nonzero((slot_lut >= 0)[:, None]
+                            & np.isin(m.kf_obs_mp, mp_ids))
+        mm = m.kf_obs_mp[kk, ss]
+        keep = (lm_lut[mm] >= 0)
+        kk, ss, mm = kk[keep], ss[keep], mm[keep]
+        n_obs = len(kk)
+        if n_obs == 0:
+            return
+        kf_idx = slot_lut[kk].astype(np.int32)
+        lm_idx = lm_lut[mm].astype(np.int32)
+        uv = m.kf_uv[kk, ss]
+        info = (1.0 / 1.2 ** (2 * m.kf_octave[kk, ss])).astype(np.float32)
+        fixed_mask = np.zeros(len(kfs), bool)
+        fixed_mask[len(win):] = True
+        if not fixed:
+            fixed_mask[0] = True  # gauge
+        prob = BAProblem(
+            R=jnp.asarray(m.kf_R[kfs]), t=jnp.asarray(m.kf_t[kfs]),
+            points=jnp.asarray(m.mp_pos[mp_ids]),
+            kf_idx=jnp.asarray(kf_idx), lm_idx=jnp.asarray(lm_idx),
+            uv=jnp.asarray(uv, jnp.float32), info=jnp.asarray(info),
+            valid=jnp.ones(n_obs, bool),
+            fixed_kf=jnp.asarray(fixed_mask),
+            fixed_lm=jnp.zeros(len(mp_ids), bool))
+        out, _, _ = bundle_adjust(prob, self.camera, n_iters=n_iters)
+        upd = ~fixed_mask
+        m.kf_R[kfs[upd]] = np.asarray(out.R, np.float32)[upd]
+        m.kf_t[kfs[upd]] = np.asarray(out.t, np.float32)[upd]
+        m.mp_pos[mp_ids] = np.asarray(out.points, np.float32)
+        m.change_index += 1

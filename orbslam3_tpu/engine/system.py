@@ -105,7 +105,8 @@ class Slam:
                                            Sensor.IMU_STEREO, Sensor.IMU_RGBD)
             self.loop_closer = LoopCloser(
                 camera, self.atlas, self.db,
-                LoopCloserConfig(fix_scale=fix_scale, inertial=inertial))
+                LoopCloserConfig(fix_scale=fix_scale, inertial=inertial),
+                imu_calib=self.cfg.imu_calib if inertial else None)
         self.trackers: dict[int, Tracker] = {}
         self._mappers: dict[int, LocalMapper] = {}
         self._imu_queues: dict[int, list] = {}
@@ -214,7 +215,23 @@ class Slam:
 
     def _after_track(self, tracker: Tracker):
         """Failure ladder (`Tracking.cc:2108-2152`): on LOST, store a mature
-        map and respawn, or reset a young one."""
+        map and respawn, or reset a young one. Also services the
+        timestamp-jump requests (Tracking.cc:1953-1980) and the bad-IMU
+        detector (LocalMapping.cc:140-150)."""
+        if tracker.map.bad_imu:
+            self._log('bad_imu_reset', map=tracker.map.map_id)
+            self.reset_active_map()
+            return
+        req = getattr(tracker, 'reset_request', None)
+        if req is not None:
+            tracker.reset_request = None
+            self._log('timestamp_jump', action=req)
+            if req == 'reset_map':
+                self.reset_active_map()
+            else:
+                self.atlas.create_new_map()
+                self._rebind_all_trackers()
+            return
         if tracker.state != TrackingState.LOST:
             return
         m = tracker.map
@@ -303,24 +320,49 @@ class Slam:
             bow, covis, map_id=m.map_id)
         q_planes = desc_k.descriptor_planes(jnp.asarray(desc))
         key = jax.random.PRNGKey(int(m.change_index) & 0x7FFFFFFF)
-        for cand in list(cands[:5]):
+        for cand in list(cands[:8]):
             cand = int(cand)
             if cand >= m.kf_valid.size or not m.kf_valid[cand]:
                 continue
-            obs = m.kf_obs_mp[cand]
-            has_mp = (obs >= 0) & m.kf_feat_valid[cand]
-            if has_mp.sum() < 15:
+            # candidate match set: the candidate KF's observed points PLUS
+            # its best covisible neighbors' (the reference widens thin
+            # matches with a covisibility-projection pass,
+            # Tracking.cc:3850-3910) — here the expansion feeds one padded
+            # Hamming match directly
+            group = [cand] + [int(x) for x in
+                              m.covisibility(cand, min_shared=15)[:4]]
+            g_desc, g_mp, seen = [], [], set()
+            for gk in group:
+                obs_g = m.kf_obs_mp[gk]
+                sel_g = np.nonzero((obs_g >= 0) & m.kf_feat_valid[gk])[0]
+                for s_ in sel_g:
+                    mp_id = int(obs_g[s_])
+                    if mp_id not in seen and m.mp_valid[mp_id]:
+                        seen.add(mp_id)
+                        g_desc.append(m.kf_desc[gk][s_])
+                        g_mp.append(mp_id)
+            if len(g_mp) < 15:
                 continue
-            c_planes = desc_k.descriptor_planes(jnp.asarray(m.kf_desc[cand]))
+            # fixed-capacity padding (stable XLA shapes across candidates)
+            CAP = 2048
+            n_g = min(len(g_mp), CAP)
+            g_desc_p = np.zeros((CAP, 8), np.uint32)
+            g_desc_p[:n_g] = np.asarray(g_desc[:n_g])
+            g_mp_arr = np.full(CAP, -1, np.int32)
+            g_mp_arr[:n_g] = np.asarray(g_mp[:n_g], np.int32)
+            g_valid = np.zeros(CAP, bool)
+            g_valid[:n_g] = True
+            c_planes = desc_k.descriptor_planes(jnp.asarray(g_desc_p))
             dist = ham.distance_matrix(q_planes, c_planes)
             dist = jnp.where(
-                jnp.asarray(fval)[:, None] & jnp.asarray(has_mp)[None, :],
+                jnp.asarray(fval)[:, None] & jnp.asarray(g_valid)[None, :],
                 dist, 1 << 20)
             idx, _, ok = ham.match_ratio(dist, max_dist=ham.TH_LOW,
                                          ratio=0.75)
             idx_np = np.asarray(idx)
             ok_np = np.asarray(ok) & fval
-            mp = np.where(ok_np, obs[np.clip(idx_np, 0, obs.size - 1)], -1)
+            mp = np.where(ok_np, g_mp_arr[np.clip(idx_np, 0,
+                                                  len(g_mp_arr) - 1)], -1)
             if (mp >= 0).sum() < 15:
                 continue
             pts = m.mp_pos[np.clip(mp, 0, None)]

@@ -275,6 +275,19 @@ class Tracker:
         Returns the world->camera pose (R, t) or None while uninitialized.
         """
         self.frame_id += 1
+        # timestamp-jump guards (Tracking.cc:1953-1980): a backwards jump
+        # flushes the IMU queue and respawns the map; a forward gap > 1 s on
+        # an inertial config resets (young map) or respawns (initialized)
+        self.reset_request = None
+        if self._last_ts is not None and self.state in (
+                TrackingState.OK, TrackingState.RECENTLY_LOST):
+            if ts < self._last_ts - 1e-9:
+                self._imu_queue = []
+                self.reset_request = 'new_map'
+            elif (self.imu_calib is not None
+                    and ts - self._last_ts > 1.0):
+                self.reset_request = ('new_map' if self.map.imu_initialized
+                                      else 'reset_map')
         with timing.stage("track.imu_integrate"):
             self._pre_cur = self._preintegrate_to(ts)
         if self._pre_cur is not None:
@@ -348,6 +361,8 @@ class Tracker:
             np.asarray(f.angle), np.asarray(f.desc), valid, obs,
             uright=self._cur_uright,
         )
+        if k0 < 0:
+            return
         self.R_cw = np.eye(3, dtype=np.float32)
         self.t_cw = np.zeros(3, np.float32)
         self._set_ref_kf(k0)
@@ -447,6 +462,8 @@ class Tracker:
             np.asarray(cur_np.desc), np.asarray(cur_np.valid), obs1,
             prev_kf=k0, preint=pre_init,
         )
+        if k0 < 0 or k1 < 0:
+            return
         self._update_mp_stats_after_insert(ids[good])
 
         # init BA over the two keyframes (GlobalBundleAdjustemnt(20) equiv)
@@ -469,11 +486,27 @@ class Tracker:
 
     # --------------------------------------------------------------- tracking
     def _local_map_points(self) -> np.ndarray:
-        """Candidate map points: those seen by the reference KF and its
-        covisible neighbors (UpdateLocalMap, Tracking.cc:3420-3470)."""
+        """Candidate map points from the local keyframe set: reference KF,
+        its K1 covisible neighbors, their second-order neighbors, and
+        temporal-chain parents/children (UpdateLocalKeyFrames +
+        UpdateLocalPoints, Tracking.cc:3340-3470 — the reference expands to
+        K2 second-order neighbors and spanning-tree relatives; a thin
+        ref-KF-only set starves the local search after fast motion)."""
         m = self.map
-        kfs = [self.ref_kf] + list(m.covisibility(self.ref_kf, min_shared=10)[:10])
-        obs = m.kf_obs_mp[kfs]
+        k1 = [self.ref_kf] + [int(x) for x in
+                              m.covisibility(self.ref_kf, min_shared=10)[:10]]
+        local = list(dict.fromkeys(k1))
+        for kf in k1[:5]:
+            for nb in m.covisibility(kf, min_shared=15)[:5]:
+                nb = int(nb)
+                if nb not in local:
+                    local.append(nb)
+            p = int(m.kf_prev[kf])
+            if p >= 0 and m.kf_valid[p] and p not in local:
+                local.append(p)
+            if len(local) >= 20:  # reference caps the local set at 80 KFs
+                break
+        obs = m.kf_obs_mp[local]
         ids = np.unique(obs[obs >= 0])
         ids = ids[m.mp_valid[ids]]
         return ids
@@ -539,26 +572,39 @@ class Tracker:
             matched_np = np.asarray(matched)
             fidx_np = np.asarray(fidx)
             sel = np.nonzero(matched_np)[0]
-            pts = m.mp_pos[ids_p[sel]]
-            uv_obs = np.asarray(feats.uv)[fidx_np[sel]]
-            info = 1.0 / (1.2 ** (2 * np.asarray(feats.octave)[fidx_np[sel]]))
+            # FIXED-CAPACITY padding: a match-count-shaped problem would
+            # compile a fresh XLA program per distinct count (hundreds over
+            # a sequence — recompilation storm + mmap exhaustion); pad to
+            # the frame's feature capacity instead (SURVEY §7 "fixed
+            # capacities + masking")
+            cap = feats.capacity
+            n_sel = min(len(sel), cap)
+            pts = np.zeros((cap, 3), np.float32)
+            uv_obs = np.zeros((cap, 2), np.float32)
+            info = np.ones(cap, np.float32)
+            valid_sel = np.zeros(cap, bool)
+            pts[:n_sel] = m.mp_pos[ids_p[sel[:n_sel]]]
+            uv_obs[:n_sel] = np.asarray(feats.uv)[fidx_np[sel[:n_sel]]]
+            info[:n_sel] = 1.0 / (
+                1.2 ** (2 * np.asarray(feats.octave)[fidx_np[sel[:n_sel]]]))
+            valid_sel[:n_sel] = True
             # stereo rows (EdgeStereo...OnlyPose) when per-feature depth
             # is available this frame
             ur_kw = {}
             if self._cur_uright is not None and cfg.bf > 0:
-                ur_kw = dict(
-                    u_r=jnp.asarray(self._cur_uright[fidx_np[sel]],
-                                    jnp.float32),
-                    bf=jnp.asarray(cfg.bf, jnp.float32))
+                u_r = np.full(cap, -1.0, np.float32)
+                u_r[:n_sel] = self._cur_uright[fidx_np[sel[:n_sel]]]
+                ur_kw = dict(u_r=jnp.asarray(u_r),
+                             bf=jnp.asarray(cfg.bf, jnp.float32))
             R, t, inliers, n_in = optimize_pose(
                 jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(pts),
-                jnp.asarray(uv_obs, jnp.float32), jnp.asarray(info, jnp.float32),
-                jnp.ones(len(sel), bool), self.camera, **ur_kw,
+                jnp.asarray(uv_obs), jnp.asarray(info),
+                jnp.asarray(valid_sel), self.camera, **ur_kw,
             )
             if self.debug:
-                print(f"    optimize: n_in={int(n_in)}/{len(sel)}")
-            return (np.asarray(R), np.asarray(t), sel, fidx_np, np.asarray(inliers),
-                    int(n_in))
+                print(f"    optimize: n_in={int(n_in)}/{n_sel}")
+            return (np.asarray(R), np.asarray(t), sel[:n_sel], fidx_np,
+                    np.asarray(inliers)[:n_sel], int(n_in))
 
         out = search_and_optimize(R_pred, t_pred, cfg.proj_radius,
                                   cfg.min_track_matches)
@@ -681,15 +727,24 @@ class Tracker:
             prior = None
             fixed = True
 
-        pts = m.mp_pos[ids_p[sel]]
-        uv_obs = np.asarray(feats.uv)[fidx_np[sel]]
-        info = 1.0 / (1.2 ** (2 * np.asarray(feats.octave)[fidx_np[sel]]))
+        # fixed-capacity padding (same recompilation-storm guard as the
+        # visual pose path)
+        cap = feats.capacity
+        n_sel = min(len(sel), cap)
+        pts = np.zeros((cap, 3), np.float32)
+        uv_obs = np.zeros((cap, 2), np.float32)
+        info = np.ones(cap, np.float32)
+        valid_sel = np.zeros(cap, bool)
+        pts[:n_sel] = m.mp_pos[ids_p[sel[:n_sel]]]
+        uv_obs[:n_sel] = np.asarray(feats.uv)[fidx_np[sel[:n_sel]]]
+        info[:n_sel] = 1.0 / (
+            1.2 ** (2 * np.asarray(feats.octave)[fidx_np[sel[:n_sel]]]))
+        valid_sel[:n_sel] = True
         try:
             out, inl, n_in, new_prior = optimize_pose_inertial(
                 anchor, cur, pre, self.imu_calib,
-                jnp.asarray(pts), jnp.asarray(uv_obs, jnp.float32),
-                jnp.asarray(info, jnp.float32),
-                jnp.ones(len(sel), bool), self.camera,
+                jnp.asarray(pts), jnp.asarray(uv_obs),
+                jnp.asarray(info), jnp.asarray(valid_sel), self.camera,
                 prior=prior, anchor_fixed=fixed)
         except Exception:
             return None
@@ -702,7 +757,7 @@ class Tracker:
         self._imu_prior = new_prior
         self._vel_w = np.asarray(out.v, np.float32)
         self._frame_bias = np.asarray(out.bias, np.float32)
-        return R_cw, t_cw, np.asarray(inl), int(n_in)
+        return R_cw, t_cw, np.asarray(inl)[:len(sel)], int(n_in)
 
     def _try_relocalize(self, feats: FrameFeatures, ts: float) -> bool:
         out = self.relocalizer(feats)
@@ -762,6 +817,8 @@ class Tracker:
             preint=pre_kf,
             uright=self._cur_uright,
         )
+        if k < 0:
+            return  # map at keyframe capacity; keep tracking without a KF
         # stereo/RGB-D: spawn close map points for unmatched features
         # (CreateNewKeyFrame close-point insertion, Tracking.cc:3400-3470)
         if self._cur_depth is not None and self.cfg.bf > 0:

@@ -101,6 +101,7 @@ def identity_preintegrated(dtype=jnp.float32) -> Preintegrated:
     )
 
 
+@jax.jit
 def preintegrate(
     acc: jax.Array,  # (N,3) accel samples (midpoint-averaged by caller or raw)
     gyro: jax.Array,  # (N,3)
@@ -225,6 +226,7 @@ def delta_position(pre: Preintegrated, bias: jax.Array) -> jax.Array:
     return pre.dP + pre.JPg @ dbg + pre.JPa @ dba
 
 
+@jax.jit
 def merge(prev: Preintegrated, nxt: Preintegrated) -> Preintegrated:
     """Concatenate two consecutive preintegrated windows.
 

@@ -106,6 +106,8 @@ class Atlas:
                 src.kf_octave[k], src.kf_angle[k], src.kf_desc[k],
                 src.kf_feat_valid[k], remapped, prev_kf=prev,
                 vel=s * (Rm @ src.kf_vel[k]), bias=src.kf_bias[k])
+            if nk < 0:
+                continue  # destination at capacity: drop this keyframe
             kf_map[int(k)] = nk
         del self.maps[src_id]
         self.active_id = dst_id

@@ -97,6 +97,10 @@ class MapState:
         self.lock = threading.RLock()
         self.imu_initialized = False
         self.iba_stage = 0  # 0: none, 1: VIBA1 done, 2: VIBA2 done
+        # bad-IMU detector output (reference mbBadImu,
+        # LocalMapping.cc:140-150): insufficient motion for initialization —
+        # the system resets the active map when it sees this
+        self.bad_imu = False
 
     # -- keyframes -----------------------------------------------------------
     @property
@@ -115,7 +119,7 @@ class MapState:
                      vel=None, bias=None, preint=None, uright=None) -> int:
         free = np.nonzero(~self.kf_valid)[0]
         if len(free) == 0:
-            raise RuntimeError("keyframe capacity exhausted")
+            return -1  # at capacity: caller skips KF creation this frame
         k = int(free[0])
         self.kf_R[k] = R
         self.kf_t[k] = t

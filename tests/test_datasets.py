@@ -88,6 +88,35 @@ def test_kitti_loader(seq_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_golden_stereo_metric_ate(tmp_path_factory):
+    """Stereo pipeline end-to-end on a rendered rectified pair: metric ATE
+    (no scale alignment — stereo observes scale through the bf-anchored
+    EdgeStereo residuals)."""
+    from orbslam3_tpu.config import Settings
+    from orbslam3_tpu.engine.system import Slam
+    from orbslam3_tpu.evaluation import ate_rmse
+    from orbslam3_tpu.slam_map.map_state import MapConfig
+
+    d = str(tmp_path_factory.mktemp("stereoseq"))
+    write_synth_euroc(d, n_frames=22, width=400, height=304, fx=290.0,
+                      fy=290.0, seed=13, n_features=600, arc=0.8,
+                      stereo_baseline=0.11)
+    seq = load_euroc(d, stereo=True)
+    st = Settings.from_yaml(os.path.join(d, "config.yaml"), sensor="stereo")
+    slam = Slam(st.camera(), st.system_config(
+        map_cfg=MapConfig(64, 8192, st.n_features)))
+    for i in range(len(seq)):
+        slam.track_stereo(seq.read_image(i), seq.read_image(i, right=True),
+                          float(seq.image_ts[i]))
+    poses = slam._full_poses(0)
+    assert len(poses) >= 0.9 * len(seq)
+    ts = np.array([p[0] for p in poses])
+    est = np.array([p[2] for p in poses])
+    ate = ate_rmse(est, seq.gt_positions_at(ts), with_scale=False)
+    assert ate < 0.06, f"metric ATE {ate * 1e3:.1f} mm"
+
+
+@pytest.mark.slow
 def test_golden_trajectory_ate(seq_dir):
     """Full real-data path: mono SLAM over rendered pngs, scale-aligned ATE
     within reference-class bounds (BASELINE.md: EuRoC mono ~0.06 m on much
