@@ -749,7 +749,9 @@ class Tracker:
         except Exception:
             return None
         Rwb2 = np.asarray(out.Rwb)
-        if not np.isfinite(Rwb2).all():
+        if not (np.isfinite(Rwb2).all() and np.isfinite(out.p).all()
+                and np.isfinite(out.v).all()
+                and np.isfinite(out.bias).all()):
             return None
         R_cw = (np.asarray(Rcb) @ Rwb2.T).astype(np.float32)
         t_cw = (-R_cw @ np.asarray(out.p) + np.asarray(tcb)).astype(

@@ -429,19 +429,56 @@ def vi_ba_iteration(prob: VIBAProblem, edges: InertialEdges, camera,
     return out, cost_vis
 
 
+def _vi_total_cost(prob: VIBAProblem, edges: InertialEdges, camera,
+                   Rcb, tcb):
+    """Visual Huber cost + whitened inertial/bias-walk squared residuals,
+    with a NaN guard (non-finite -> +inf so a diverged step never wins)."""
+    res, _, _, chi2, xc = _vi_reproj(prob, camera, Rcb, tcb)
+    w = robust.huber_weight(chi2, robust.CHI2_MONO ** 0.5) * prob.info
+    w = jnp.where(prob.valid & (xc[:, 2] > 0), w, 0.0)
+    c_vis = jnp.sum(robust.huber_rho(chi2, robust.CHI2_MONO ** 0.5)
+                    * (w > 0))
+    r_in = inertial_residuals(
+        edges, prob.Rwb, prob.twb, prob.vel, prob.bias[edges.i],
+        jnp.eye(3, dtype=prob.twb.dtype),
+        jnp.asarray(1.0, prob.twb.dtype))
+    rw = jnp.einsum("eab,eb->ea", edges.Ww,
+                    prob.bias[edges.j] - prob.bias[edges.i])
+    c_in = jnp.sum((r_in ** 2 + 0.0) * edges.valid[:, None]) + jnp.sum(
+        (rw ** 2) * edges.valid[:, None])
+    total = c_vis + c_in
+    bad = ~jnp.isfinite(total)
+    return jnp.where(bad, jnp.inf, total)
+
+
 @partial(jax.jit, static_argnames=("n_iters",))
 def visual_inertial_ba(prob: VIBAProblem, edges: InertialEdges, camera,
                        Rcb, tcb, n_iters: int = 10, lambda0: float = 1e-4):
     """Fixed-iteration VI bundle adjustment (reference `FullInertialBA`,
     Optimizer.cc:392-813 / `LocalInertialBA` 2383 — window selection is the
-    caller's job; here every non-fixed KF optimizes)."""
+    caller's job; here every non-fixed KF optimizes).
+
+    LM accept/reject on the joint (visual + inertial) cost: a diverged step
+    (or one that yields NaN, which would otherwise silently poison every
+    pose in the map) is rolled back and the damping raised."""
 
     def body(carry, _):
-        prob, lam = carry
-        out, cost = vi_ba_iteration(prob, edges, camera, Rcb, tcb, lam)
-        return (out, lam * 0.7), cost
+        prob, lam, cost_prev = carry
+        out, _ = vi_ba_iteration(prob, edges, camera, Rcb, tcb, lam)
+        cost_new = _vi_total_cost(out, edges, camera, Rcb, tcb)
+        accept = cost_new < cost_prev
+        prob_next = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(
+                jnp.reshape(accept, (1,) * a.ndim), a, b)
+            if a.dtype in (jnp.float32, jnp.float64) else b,
+            out, prob)
+        lam_next = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0),
+                            1e-7, 1e2)
+        return (prob_next, lam_next,
+                jnp.where(accept, cost_new, cost_prev)), cost_new
 
-    (prob, _), costs = jax.lax.scan(
-        body, (prob, jnp.asarray(lambda0, prob.points.dtype)), None,
+    cost0 = _vi_total_cost(prob, edges, camera, Rcb, tcb)
+    (prob, _, _), costs = jax.lax.scan(
+        body, (prob, jnp.asarray(lambda0, prob.points.dtype), cost0), None,
         length=n_iters)
     return prob, costs
