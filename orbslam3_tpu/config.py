@@ -212,4 +212,5 @@ class Settings:
             tracker.kf_ref_ratio = 0.75
         return SystemConfig(
             sensor=sensor, map=mc, tracker=tracker,
-            use_loop_closing=self.loop_closing)
+            use_loop_closing=self.loop_closing,
+            imu_calib=self.imu_calib() if self.inertial else None)

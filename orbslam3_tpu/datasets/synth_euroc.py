@@ -137,6 +137,7 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
                       radius: float = 3.0, arc: float = 1.2,
                       n_features: int = 800,
                       imu_noise: bool = True,
+                      excitation: float = 0.06,
                       stereo_baseline: float = 0.0) -> str:
     """Render and write a sequence; returns `out_dir`.
 
@@ -149,7 +150,8 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
     center = (scene.lo + scene.hi) / 2.0
     center = (float(center[0]), float(center[1]), float(center[2]) + 3.0)
     R_cw, t_cw, frame_idx, imu_t, imu_gyro, imu_acc = excited_trajectory(
-        n_frames, fps, imu_rate, center, radius, arc, seed=seed)
+        n_frames, fps, imu_rate, center, radius, arc,
+        excitation=excitation, seed=seed)
     t0 = 100.0
     frame_ts = t0 + np.arange(n_frames) / fps
 

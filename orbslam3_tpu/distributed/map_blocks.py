@@ -35,7 +35,10 @@ def map_to_blocks(m: MapState, block_kfs: int = 64) -> list[dict]:
 
     Every block carries its keyframe rows plus the map-point rows those
     keyframes observe (points shared between blocks are sent once, in the
-    first block that references them)."""
+    first block that references them). Valid points observed by NO keyframe
+    (e.g. freshly triangulated, or whose observers were culled) are appended
+    to the final block so the exchange ships the complete map — the contract
+    is blocks_to_map(map_to_blocks(m)) == m for every valid row."""
     kfs = m.keyframe_ids()
     sent_mp = np.zeros(m.cfg.max_points, bool)
     blocks = []
@@ -52,6 +55,21 @@ def map_to_blocks(m: MapState, block_kfs: int = 64) -> list[dict]:
         for f in _MP_FIELDS:
             blk[f] = getattr(m, f)[mp_ids].copy()
         blocks.append(blk)
+    # sweep: valid points not referenced by any keyframe still belong to the
+    # map — append them to the last block (or a points-only block).
+    leftover = np.flatnonzero(m.mp_valid & ~sent_mp)
+    if len(leftover):
+        if not blocks:
+            blk = {"schema": 1, "map_id": m.map_id,
+                   "kf_rows": np.zeros(0, np.int64)}
+            for f in _KF_FIELDS:
+                blk[f] = getattr(m, f)[:0].copy()
+            blocks.append(blk)
+        blk = blocks[-1]
+        blk["mp_rows"] = np.concatenate([blk["mp_rows"], leftover])
+        for f in _MP_FIELDS:
+            blk[f] = np.concatenate(
+                [blk[f], getattr(m, f)[leftover]], axis=0)
     return blocks
 
 

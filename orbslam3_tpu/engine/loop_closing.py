@@ -67,15 +67,25 @@ class LoopCloser:
 
     def __init__(self, camera, atlas: Atlas, db: KeyFrameDatabase,
                  cfg: LoopCloserConfig | None = None, imu_calib=None):
+        from orbslam3_tpu.engine.global_ba import GlobalBA
         self.camera = camera
         self.atlas = atlas
         self.db = db
         self.cfg = cfg or LoopCloserConfig()
         self.imu_calib = imu_calib  # enables MergeInertialBA on merges
-        self._consistent_count = 0
-        self._last_cand_uid = -1
+        # temporal-consistency chains, PER MAP and PER CANDIDATE GROUP
+        # (reference tracks candidate chains, LoopClosing.cc:380-401; a
+        # single global counter is corrupted by interleaved multi-client
+        # keyframes or a map switch): map_id -> list of (uid_group, count)
+        self._chains: dict[int, list[tuple[set[int], int]]] = {}
         self._key = jax.random.PRNGKey(1234)
         self.events: list[LoopEvent] = []
+        # interruptible background global BA (RunGlobalBundleAdjustment
+        # thread + mbStopGBA, LoopClosing.cc:1210,2272-2515)
+        self.gba = GlobalBA(camera, iters_per_block=5,
+                            n_blocks=max(1, -(-self.cfg.gba_iters // 5)))
+        # run GBA inline instead of on its thread (deterministic tests)
+        self.gba_background = True
 
     # ------------------------------------------------------------------ api
     def process_keyframe(self, k: int) -> LoopEvent | None:
@@ -84,7 +94,12 @@ class LoopCloser:
         m = self.atlas.active
         words, bow = self.db.compute_bow(m.kf_desc[k], m.kf_feat_valid[k])
         event = None
-        if m.n_keyframes >= self.cfg.min_kfs_in_map:
+        # inertial maps may only fire place recognition after VIBA2: before
+        # the final inertial refinement the map's scale/gravity are still
+        # moving and a Sim3 against it is meaningless (LoopClosing.cc:345-366
+        # requires GetIniertialBA2; the map-size guard applies to all maps)
+        viba_ok = (not self.cfg.inertial) or m.iba_stage >= 2
+        if m.n_keyframes >= self.cfg.min_kfs_in_map and viba_ok:
             event = self._detect_and_correct(m, k, bow)
         self.db.add(k, bow, map_id=m.map_id)
         return event
@@ -99,6 +114,9 @@ class LoopCloser:
             int(x) for x in m.covisibility(k, min_shared=5))
         cands = self.db.detect_n_best_candidates(
             bow, exclude, self._covis_fn(m), n_best=cfg.n_best_candidates)
+        prev_chains = self._chains.get(m.map_id, [])
+        new_chains: list[tuple[set[int], int]] = []
+        fired = None
         for cand in cands:
             cand = int(cand)
             cand_map_id = int(self.db.map_of[cand])
@@ -108,27 +126,25 @@ class LoopCloser:
                 if res is None:
                     continue
                 s, R, t, n_inl = res
-                # temporal consistency (LoopClosing.cc:380-401): require
-                # `consistency_threshold` consecutive KFs hitting candidates
-                # covisible with the previous hit
-                consistent = (
-                    self._last_cand_uid >= 0
-                    and (m.slot_of_uid(self._last_cand_uid) in
-                         ([cand] + self._covis_fn(m)(cand))))
-                self._consistent_count = (
-                    self._consistent_count + 1 if consistent else 1)
-                self._last_cand_uid = int(m.kf_uid[cand])
-                if self._consistent_count >= cfg.consistency_threshold:
+                # temporal consistency PER CANDIDATE CHAIN
+                # (LoopClosing.cc:380-401): this candidate extends a chain
+                # when its covisible group intersects the chain's group from
+                # the previous keyframe; independent/interleaved candidates
+                # keep independent counters
+                group = {int(m.kf_uid[cand])} | {
+                    int(m.kf_uid[c]) for c in self._covis_fn(m)(cand)}
+                count = 1 + max(
+                    (c for g, c in prev_chains if g & group), default=0)
+                new_chains.append((group, count))
+                if count >= cfg.consistency_threshold and fired is None:
                     # inertial loop sanity: correction must be near yaw-only
                     # ("BAD LOOP", LoopClosing.cc:242-264)
                     if cfg.inertial and not self._yaw_only_ok(R):
                         continue
-                    self._consistent_count = 0
-                    self._last_cand_uid = -1
                     self._correct_loop(m, k, cand, s, R, t)
                     ev = LoopEvent("loop", k, cand, float(s), int(n_inl))
                     self.events.append(ev)
-                    return ev
+                    fired = ev
             else:
                 # candidate lives in a stored map -> merge (MergeLocal)
                 other = self.atlas.maps[cand_map_id]
@@ -146,10 +162,12 @@ class LoopCloser:
                         continue
                 ev = self._merge_maps(m, k, other, cand, s, R, t, int(n_inl))
                 self.events.append(ev)
+                self._chains.pop(m.map_id, None)
                 return ev
-        if len(cands) == 0:
-            self._consistent_count = 0
-        return None
+        # chains not extended by THIS keyframe die (consecutive-KF rule);
+        # a confirmed loop clears the map's chains entirely
+        self._chains[m.map_id] = [] if fired is not None else new_chains
+        return fired
 
     def _yaw_only_ok(self, R) -> bool:
         """Inertial maps have observable gravity: a loop/merge correction
@@ -224,6 +242,9 @@ class LoopCloser:
         through the current KF's covisible window, re-express their points,
         fuse duplicates, optimize the essential graph, then global BA."""
         cfg = self.cfg
+        # a new confirmed loop aborts any in-flight global BA before
+        # touching the map (mbStopGBA, LoopClosing.cc:1199-1210)
+        self.gba.abort_and_join()
         # corrected S_cw(cur) = S_cur<-cand o T_cand_w
         s_corr, R_corr, t_corr = lie.sim3_compose(
             jnp.asarray(s, jnp.float32), jnp.asarray(R), jnp.asarray(t),
@@ -232,54 +253,65 @@ class LoopCloser:
         s_corr = float(s_corr)
         R_corr, t_corr = np.asarray(R_corr), np.asarray(t_corr)
 
-        window = [cur] + [int(x) for x in m.covisibility(cur, min_shared=10)]
-        old_R = {i: m.kf_R[i].copy() for i in m.keyframe_ids()}
-        old_t = {i: m.kf_t[i].copy() for i in m.keyframe_ids()}
+        # ALL map mutation below runs under the map lock — the reference
+        # stops LocalMapping and holds mMutexMapUpdate through CorrectLoop
+        # (LoopClosing.cc:973+); async-mode tracking reads kf_R/mp_pos under
+        # the same lock, so a half-corrected map is never observable
+        with m.lock:
+            window = [cur] + [int(x)
+                              for x in m.covisibility(cur, min_shared=10)]
+            old_R = {i: m.kf_R[i].copy() for i in m.keyframe_ids()}
+            old_t = {i: m.kf_t[i].copy() for i in m.keyframe_ids()}
 
-        corrected: dict[int, tuple[float, np.ndarray, np.ndarray]] = {}
-        Rc, tc = old_R[cur], old_t[cur]
-        for i in window:
-            # T_ic = T_iw o T_wc (uncorrected, SE3)
-            R_ic = old_R[i] @ Rc.T
-            t_ic = old_t[i] - R_ic @ tc
-            si, Ri, ti = lie.sim3_compose(
-                jnp.asarray(1.0, jnp.float32), jnp.asarray(R_ic),
-                jnp.asarray(t_ic), jnp.asarray(s_corr, jnp.float32),
-                jnp.asarray(R_corr), jnp.asarray(t_corr))
-            corrected[i] = (float(si), np.asarray(Ri), np.asarray(ti))
+            corrected: dict[int, tuple[float, np.ndarray, np.ndarray]] = {}
+            Rc, tc = old_R[cur], old_t[cur]
+            for i in window:
+                # T_ic = T_iw o T_wc (uncorrected, SE3)
+                R_ic = old_R[i] @ Rc.T
+                t_ic = old_t[i] - R_ic @ tc
+                si, Ri, ti = lie.sim3_compose(
+                    jnp.asarray(1.0, jnp.float32), jnp.asarray(R_ic),
+                    jnp.asarray(t_ic), jnp.asarray(s_corr, jnp.float32),
+                    jnp.asarray(R_corr), jnp.asarray(t_corr))
+                corrected[i] = (float(si), np.asarray(Ri), np.asarray(ti))
 
-        # correct window landmarks once each, via their first correcting KF
-        done = set()
-        for i in window:
-            mp_ids = m.kf_obs_mp[i]
-            mp_ids = np.unique(mp_ids[mp_ids >= 0])
-            mp_ids = np.asarray([p for p in mp_ids
-                                 if p not in done and m.mp_valid[p]])
-            done.update(int(p) for p in mp_ids)
-            if len(mp_ids) == 0:
-                continue
-            si, Ri, ti = corrected[i]
-            newp = correct_points(
-                jnp.asarray(m.mp_pos[mp_ids]),
-                jnp.asarray(1.0, jnp.float32), jnp.asarray(old_R[i]),
-                jnp.asarray(old_t[i]),
-                jnp.asarray(si, jnp.float32), jnp.asarray(Ri),
-                jnp.asarray(ti))
-            m.mp_pos[mp_ids] = np.asarray(newp, np.float32)
-        # write corrected SE3 poses (t /= s, LoopClosing.cc:1050-1056)
-        for i, (si, Ri, ti) in corrected.items():
-            m.kf_R[i] = Ri.astype(np.float32)
-            m.kf_t[i] = (ti / si).astype(np.float32)
+            # correct window landmarks once each, via their first
+            # correcting KF
+            done = set()
+            for i in window:
+                mp_ids = m.kf_obs_mp[i]
+                mp_ids = np.unique(mp_ids[mp_ids >= 0])
+                mp_ids = np.asarray([p for p in mp_ids
+                                     if p not in done and m.mp_valid[p]])
+                done.update(int(p) for p in mp_ids)
+                if len(mp_ids) == 0:
+                    continue
+                si, Ri, ti = corrected[i]
+                newp = correct_points(
+                    jnp.asarray(m.mp_pos[mp_ids]),
+                    jnp.asarray(1.0, jnp.float32), jnp.asarray(old_R[i]),
+                    jnp.asarray(old_t[i]),
+                    jnp.asarray(si, jnp.float32), jnp.asarray(Ri),
+                    jnp.asarray(ti))
+                m.mp_pos[mp_ids] = np.asarray(newp, np.float32)
+            # write corrected SE3 poses (t /= s, LoopClosing.cc:1050-1056)
+            for i, (si, Ri, ti) in corrected.items():
+                m.kf_R[i] = Ri.astype(np.float32)
+                m.kf_t[i] = (ti / si).astype(np.float32)
 
-        # fuse: project the loop-side points into the corrected window KFs
-        self._search_and_fuse(m, window, cand)
+            # fuse: project loop-side points into the corrected window KFs
+            self._search_and_fuse(m, window, cand)
 
-        # essential-graph optimization, then point re-correction
-        self._optimize_essential_graph(m, cur, cand, s, R, t,
-                                       corrected, old_R, old_t)
+            # essential-graph optimization, then point re-correction
+            self._optimize_essential_graph(m, cur, cand, s, R, t,
+                                           corrected, old_R, old_t)
+            m.change_index += 1
         if cfg.run_global_ba:
-            self.run_global_ba(m, fixed_kf=cand, n_iters=cfg.gba_iters)
-        m.change_index += 1
+            # background, abortable, with post-solve re-propagation — the
+            # mapping worker keeps servicing its queue while this solves
+            # (RunGlobalBundleAdjustment thread, LoopClosing.cc:1210)
+            self.gba.request(m, fixed_kf=cand,
+                             background=self.gba_background)
 
     def _search_and_fuse(self, m: MapState, window: list[int], cand: int):
         """SearchAndFuse (LoopClosing.cc:2119): project landmarks seen around

@@ -108,29 +108,42 @@ class Slam:
                 LoopCloserConfig(fix_scale=fix_scale, inertial=inertial),
                 imu_calib=self.cfg.imu_calib if inertial else None)
         self.trackers: dict[int, Tracker] = {}
-        self._mappers: dict[int, LocalMapper] = {}
         self._imu_queues: dict[int, list] = {}
         self._lock = threading.Lock()
         self.events: list[dict] = []  # structured event log (SURVEY §5.5)
+        # ONE shared mapping/loop-closing back-end for ALL clients — the
+        # reference wires every per-client Tracking into a single
+        # LocalMapping + LoopClosing pair (System.cc:196-225,248-266);
+        # per-lane mappers would mutate the shared map concurrently and
+        # unserialized
+        self._backend = self._make_backend()
         self.add_client(0)
+
+    def _make_backend(self) -> "_HookedMapper":
+        return _HookedMapper(
+            LocalMapper(self.camera, self.atlas.active,
+                        imu_calib=self._imu_calib(),
+                        bf=self.cfg.tracker.bf),
+            self._on_keyframe, async_mode=self.cfg.async_mapping)
+
+    @property
+    def _mappers(self):
+        """Compat view: every client id maps to the one shared back-end."""
+        return {cid: self._backend for cid in self.trackers}
 
     # ------------------------------------------------------------- clients
 
     def add_client(self, client_id: int) -> Tracker:
         """Fork's `System::AddClient` (`System.cc:248-266`): a new tracking
-        lane against the shared active map."""
+        lane against the shared active map, feeding the SHARED back-end."""
         with self._lock:
             m = self.atlas.active
-            mapper = _HookedMapper(
-                LocalMapper(self.camera, m, imu_calib=self._imu_calib(),
-                            bf=self.cfg.tracker.bf),
-                self._on_keyframe, async_mode=self.cfg.async_mapping)
             tracker = Tracker(self.camera, m, self.cfg.tracker,
-                              client_id=client_id, local_mapper=mapper,
+                              client_id=client_id,
+                              local_mapper=self._backend,
                               relocalizer=self._relocalize,
                               imu_calib=self._imu_calib(client_id))
             self.trackers[client_id] = tracker
-            self._mappers[client_id] = mapper
             self._imu_queues.setdefault(client_id, [])
             self._log('add_client', client=client_id)
             return tracker
@@ -244,23 +257,17 @@ class Slam:
             self.reset_active_map()
 
     def _rebind_all_trackers(self):
-        # stop old async workers before dropping their mappers
-        for mp in self._mappers.values():
-            if hasattr(mp, 'shutdown'):
-                try:
-                    mp.shutdown()
-                except Exception as e:
-                    self._log('backend_error', error=repr(e))
+        # stop the old async worker before dropping the shared back-end
+        try:
+            self._backend.shutdown()
+        except Exception as e:
+            self._log('backend_error', error=repr(e))
         m = self.atlas.active
+        self._backend = self._make_backend()
         for cid, tracker in self.trackers.items():
-            mapper = _HookedMapper(
-                LocalMapper(self.camera, m, imu_calib=self._imu_calib(),
-                            bf=self.cfg.tracker.bf),
-                self._on_keyframe, async_mode=self.cfg.async_mapping)
-            self._mappers[cid] = mapper
             old_traj = tracker.trajectory
             fresh = Tracker(self.camera, m, self.cfg.tracker,
-                            client_id=cid, local_mapper=mapper,
+                            client_id=cid, local_mapper=self._backend,
                             relocalizer=self._relocalize,
                             imu_calib=self._imu_calib(cid))
             fresh.trajectory = old_traj  # keep cross-map trajectory log
@@ -382,13 +389,22 @@ class Slam:
         tracker = self.trackers[client_id]
         return tracker.export_trajectory()
 
-    def _full_poses(self, client_id: int = 0):
+    def _full_poses(self, client_id: int = 0, refine: bool = True):
         """(ts, R_wc, t_wc) per tracked frame, composing relative poses with
-        current KF estimates (SaveTrajectoryTUM logic, System.cc:666-724)."""
+        current KF estimates (SaveTrajectoryTUM logic, System.cc:666-724).
+
+        With `refine`, every frame that carries stored inlier observations
+        gets a batched pose-only re-optimization against the FINAL map (one
+        vmapped device program over the whole trajectory): live tracking
+        froze these poses against the then-immature landmarks, so polishing
+        against the BA-refined landmarks recovers keyframe-grade accuracy.
+        TPU-native addition — the reference exports raw per-frame poses."""
         tracker = self.trackers[client_id]
         m = tracker.map
         uid_to_slot = {int(m.kf_uid[k]): int(k) for k in m.keyframe_ids()}
         out = []
+        recs = []
+        anchored = []  # composed through a LIVE ref KF without cull hops?
         for rec in tracker.trajectory:
             # spanning-tree repair for culled reference KFs (System.cc:759-874)
             R_cr, t_cr, uid, hops = rec.Tcr_R, rec.Tcr_t, rec.ref_kf_uid, 0
@@ -402,8 +418,71 @@ class Slam:
             Rr, tr = m.kf_R[slot], m.kf_t[slot]
             R_cw = R_cr @ Rr
             t_cw = R_cr @ tr + t_cr
-            out.append((rec.ts, R_cw.T, -R_cw.T @ t_cw))
-        return out
+            out.append([rec.ts, R_cw, t_cw])
+            recs.append(rec)
+            anchored.append(
+                hops == 0 and np.allclose(rec.Tcr_R, np.eye(3), atol=1e-6)
+                and np.allclose(rec.Tcr_t, 0.0, atol=1e-7))
+        if refine:
+            self._polish_poses(m, out, recs, anchored)
+        return [(ts, R_cw.T, -R_cw.T @ t_cw) for ts, R_cw, t_cw in out]
+
+    def _polish_poses(self, m, out, recs, anchored, min_inliers: int = 20,
+                      chunk: int = 256):
+        """Batched export-time trajectory polish (see _full_poses).
+
+        Frames anchored to a LIVE keyframe with identity Tcr already carry
+        that keyframe's BA pose (better-constrained than a re-solve against
+        the frame's pre-KF observation snapshot) and are skipped; frames
+        whose reference was culled, and ordinary non-KF frames, get
+        re-optimized against the final landmarks."""
+        import jax.numpy as jnp
+        from ..opt.pose_gn import optimize_pose_batch
+        cap = m.cfg.features_per_frame
+        todo = [i for i, rec in enumerate(recs)
+                if rec.obs_mp is not None and len(rec.obs_mp) >= min_inliers
+                and not anchored[i]]
+        if not todo:
+            return
+        with m.lock:
+            mp_pos = m.mp_pos.copy()
+            mp_valid = m.mp_valid.copy()
+            mp_uid = m.mp_uid.copy()
+        for start in range(0, len(todo), chunk):
+            batch = todo[start:start + chunk]
+            F = chunk  # static batch shape (pad the tail chunk)
+            R0 = np.tile(np.eye(3, dtype=np.float32), (F, 1, 1))
+            t0 = np.zeros((F, 3), np.float32)
+            pts = np.zeros((F, cap, 3), np.float32)
+            uv = np.zeros((F, cap, 2), np.float32)
+            info = np.ones((F, cap), np.float32)
+            valid = np.zeros((F, cap), bool)
+            for bi, i in enumerate(batch):
+                rec = recs[i]
+                R0[bi], t0[bi] = out[i][1], out[i][2]
+                ids = rec.obs_mp
+                # uid check: culled slots are recycled for NEW landmarks, so
+                # slot+uid must both match or the stored observation now
+                # points at unrelated geometry
+                keep = (ids >= 0) & mp_valid[ids] & (mp_uid[ids] == rec.obs_uid)
+                n = min(int(keep.sum()), cap)
+                sel = np.nonzero(keep)[0][:n]
+                pts[bi, :n] = mp_pos[ids[sel]]
+                uv[bi, :n] = rec.obs_uv[sel]
+                info[bi, :n] = 1.0 / (
+                    1.2 ** (2 * rec.obs_oct[sel].astype(np.float32)))
+                valid[bi, :n] = True
+            R, t, _, n_in = optimize_pose_batch(
+                jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(pts),
+                jnp.asarray(uv), jnp.asarray(info), jnp.asarray(valid),
+                self.camera)
+            R = np.asarray(R)
+            t = np.asarray(t)
+            n_in = np.asarray(n_in)
+            for bi, i in enumerate(batch):
+                if (n_in[bi] >= min_inliers and np.isfinite(R[bi]).all()
+                        and np.isfinite(t[bi]).all()):
+                    out[i][1], out[i][2] = R[bi], t[bi]
 
     def save_trajectory_tum(self, path: str, client_id: int = 0):
         """`ts x y z qx qy qz qw` per line (System::SaveTrajectoryTUM)."""
@@ -436,20 +515,20 @@ class Slam:
         self._log('atlas_saved', path=path)
 
     def flush(self):
-        """Drain async mapping queues (deterministic point for tests and
-        trajectory export)."""
-        for mp in self._mappers.values():
-            if hasattr(mp, 'flush'):
-                mp.flush()
+        """Drain the async mapping queue and any in-flight global BA
+        (deterministic point for tests and trajectory export)."""
+        self._backend.flush()
+        if self.loop_closer is not None:
+            self.loop_closer.gba.join()
 
     def shutdown(self, save_atlas_to: str = None):
         self.flush()
-        for mp in self._mappers.values():
-            if hasattr(mp, 'shutdown'):
-                try:
-                    mp.shutdown()
-                except Exception as e:
-                    self._log('backend_error', error=repr(e))
+        try:
+            self._backend.shutdown()
+        except Exception as e:
+            self._log('backend_error', error=repr(e))
+        if self.loop_closer is not None:
+            self.loop_closer.gba.abort_and_join()
         if save_atlas_to:
             self.save_atlas(save_atlas_to)
         self._log('shutdown')

@@ -80,6 +80,15 @@ class FrameRecord:
     Tcr_R: np.ndarray  # pose relative to reference keyframe: Tcw * Twr
     Tcr_t: np.ndarray
     state: TrackingState
+    # inlier observations at track time (map-point ids + level-0 pixel
+    # coords + octave), kept for the export-time batched trajectory polish:
+    # non-keyframe poses are frozen against the then-current map, so
+    # re-optimizing them against the FINAL (BA-refined) landmarks recovers
+    # keyframe-grade accuracy. None for init/relocalized/dead-reckoned frames.
+    obs_mp: Optional[np.ndarray] = None    # (M,) int32 point slots
+    obs_uid: Optional[np.ndarray] = None   # (M,) int64 stable point uids
+    obs_uv: Optional[np.ndarray] = None    # (M,2) float32
+    obs_oct: Optional[np.ndarray] = None   # (M,) int8
 
 
 class Tracker:
@@ -104,6 +113,7 @@ class Tracker:
         self._imu_prior = None
         self._frame_bias: Optional[np.ndarray] = None
         self._map_change_seen = -1
+        self._gauge_seen = slam_map.gauge_epoch
         # per-frame stereo/RGB-D depth (set by process_stereo/process_rgbd)
         self._cur_depth: Optional[np.ndarray] = None
         self._cur_uright: Optional[np.ndarray] = None
@@ -114,6 +124,10 @@ class Tracker:
         # against the shared map (Tracking::Relocalization, 3753-3921)
         self.relocalizer = relocalizer
         self.state = TrackingState.NO_IMAGES_YET
+        # localization-only mode (reference Tracking::mbOnlyTracking via
+        # System::ActivateLocalizationMode, System.cc:578+): track and
+        # relocalize against a frozen map — no keyframes are created
+        self.only_tracking = False
         # initialization buffers
         self._init_feats: Optional[FrameFeatures] = None
         self._init_ts: float = 0.0
@@ -133,6 +147,7 @@ class Tracker:
         self._lost_count = 0
         self.trajectory: list[FrameRecord] = []
         self.n_inliers = 0
+        self._cur_obs = None  # this frame's inlier obs (for export polish)
         self.debug = False
 
     def _set_ref_kf(self, k: int):
@@ -275,6 +290,7 @@ class Tracker:
         Returns the world->camera pose (R, t) or None while uninitialized.
         """
         self.frame_id += 1
+        self._cur_obs = None
         # timestamp-jump guards (Tracking.cc:1953-1980): a backwards jump
         # flushes the IMU queue and respawns the map; a forward gap > 1 s on
         # an inertial config resets (young map) or respawns (initialized)
@@ -326,6 +342,11 @@ class Tracker:
                     if self._lost_count <= self.cfg.recently_lost_frames
                     else TrackingState.LOST
                 )
+        elif self.state == TrackingState.LOST and self.only_tracking:
+            # frozen map: no Atlas respawn — keep trying relocalization
+            # (the reference stays in Relocalization while mbOnlyTracking)
+            if self.relocalizer is not None and self._try_relocalize(feats, ts):
+                self.state = TrackingState.OK
         self._last_ts = ts
         self._record_pose(ts)
         if self.state in (TrackingState.OK, TrackingState.RECENTLY_LOST):
@@ -350,7 +371,7 @@ class Tracker:
         ids = self.map.add_points(
             pos=pts[sel].astype(np.float32),
             desc=np.asarray(f.desc)[sel],
-            first_kf=0,
+            first_kf=0,  # patched to the real slot below (slot not known yet)
         )
         obs = np.full(feats.capacity, -1, np.int32)
         good = ids >= 0
@@ -362,7 +383,15 @@ class Tracker:
             uright=self._cur_uright,
         )
         if k0 < 0:
+            # keyframe capacity: roll the just-added points back instead of
+            # leaking them with a dangling first_kf (advisor finding)
+            if good.any():
+                self.map.remove_points(ids[good])
             return
+        # patch the anchor slot (a fresh map's first free slot may be
+        # nonzero after resets)
+        self.map.mp_first_kf[ids[good]] = k0
+        self.map.mp_ref_kf[ids[good]] = k0
         self.R_cw = np.eye(3, dtype=np.float32)
         self.t_cw = np.zeros(3, np.float32)
         self._set_ref_kf(k0)
@@ -511,9 +540,46 @@ class Tracker:
         ids = ids[m.mp_valid[ids]]
         return ids
 
+    def _sync_gauge(self, transform_pose: bool = True):
+        """Re-express cached motion state after a map re-gauge
+        (ApplyScaledRotation: w' = s*Rgw*w). The reference's
+        Tracking::UpdateFrameIMU hand-off (LocalMapping.cc:1283-1299) —
+        without this, the first frame after IMU initialization searches
+        with an old-gauge prediction against a rescaled map and tracking
+        is lost immediately."""
+        m = self.map
+        if m.gauge_epoch == self._gauge_seen:
+            return
+        bumps = m.gauge_epoch - self._gauge_seen
+        self._gauge_seen = m.gauge_epoch
+        self._imu_prior = None  # prior information matrix is gauge-bound
+        if bumps == 1 and m.last_gauge is not None:
+            Rgw, s = m.last_gauge
+            if transform_pose:
+                self.R_cw = (self.R_cw @ Rgw.T).astype(np.float32)
+                self.t_cw = (s * self.t_cw).astype(np.float32)
+            if self._last_R is not None:
+                self._last_R = (self._last_R @ Rgw.T).astype(np.float32)
+                self._last_t = (s * self._last_t).astype(np.float32)
+            self._vel_t = (s * self._vel_t).astype(np.float32)
+            if self._vel_w is not None:
+                self._vel_w = (s * (Rgw @ self._vel_w)).astype(np.float32)
+        else:
+            # multiple re-gauges since last seen: adopt the reference
+            # keyframe's estimated state instead of composing transforms
+            if self.ref_kf >= 0 and m.kf_valid[self.ref_kf]:
+                self._vel_w = m.kf_vel[self.ref_kf].copy()
+                if transform_pose:
+                    self.R_cw = m.kf_R[self.ref_kf].copy()
+                    self.t_cw = m.kf_t[self.ref_kf].copy()
+            self._vel_R = np.eye(3, dtype=np.float32)
+            self._vel_t = np.zeros(3, np.float32)
+
     def _track_frame(self, feats: FrameFeatures, ts: float) -> bool:
         cfg = self.cfg
         m = self.map
+        with m.lock:
+            self._sync_gauge(transform_pose=True)
         # reference KF may have been culled (slot possibly reused) — fall
         # back to the newest keyframe (reference re-picks mpReferenceKF in
         # UpdateLocalKeyFrames, Tracking.cc:3340-3420)
@@ -636,16 +702,37 @@ class Tracker:
         vi = self._optimize_pose_vi(R1, t1, feats, ids_p, sel, fidx_np, ts)
         vi_ok = False
         if vi is not None:
-            R_vi, t_vi, inliers_vi, n_in_vi = vi
+            R_vi, t_vi, inliers_vi, n_in_vi, vi_prior, vi_v, vi_bias = vi
             if n_in_vi >= cfg.min_inliers_ok:
                 R1, t1 = R_vi, t_vi
                 inliers, n_in = inliers_vi, n_in_vi
+                # acceptance branch commits velocity/bias/prior atomically
+                # with the pose (advisor: a rejected solve must not leave
+                # them inconsistent with the published visual estimate)
+                self._imu_prior = vi_prior
+                self._vel_w = vi_v
+                self._frame_bias = vi_bias
                 vi_ok = True
+        if not vi_ok and self.imu_calib is not None:
+            # VI solve failed, was inapplicable, or was rejected: the
+            # marginalization prior now points at a frame >=2 back and
+            # would be paired with a single-interval preintegration window
+            # next frame — invalidate so the next solve re-anchors at the
+            # reference keyframe (advisor finding, tracking.py:759)
+            self._imu_prior = None
+            self._frame_bias = None
 
         # bookkeeping: per-feature mp assignment for KF creation
         mp_ids = np.full(feats.capacity, -1, np.int32)
         good = sel[np.asarray(inliers)]
         mp_ids[fidx_np[good]] = ids_p[good]
+        # snapshot the inlier observations for the export-time polish
+        uv_np = np.asarray(feats.uv)
+        oct_np = np.asarray(feats.octave)
+        self._cur_obs = (ids_p[good].astype(np.int32),
+                         m.mp_uid[ids_p[good]].copy(),
+                         uv_np[fidx_np[good]].astype(np.float32),
+                         oct_np[fidx_np[good]].astype(np.int8))
         # found/visible counters (MapPoint tracking stats): `visible` only
         # counts in-frustum points (reference IncreaseVisible is gated on
         # Frame::isInFrustum in SearchLocalPoints, Tracking.cc:3515-3545)
@@ -698,44 +785,50 @@ class Tracker:
         map_updated = m.change_index != self._map_change_seen
         self._map_change_seen = m.change_index
 
-        bias = self._current_bias()
-        Rwb1, twb1, Rcb, tcb = self._body_pose(R1, t1)
-        cur = BodyState(jnp.asarray(Rwb1, jnp.float32),
-                        jnp.asarray(twb1, jnp.float32),
-                        jnp.asarray(self._vel_w, jnp.float32),
-                        jnp.asarray(bias, jnp.float32))
+        # anchor-state + landmark gathers run under the map lock: the async
+        # worker's _apply_ba_result mutates kf_R/kf_t/kf_vel/kf_bias/mp_pos
+        # under the same lock, and a torn snapshot (post-BA ref-KF pose with
+        # pre-BA landmarks) breaks the consistency contract (advisor
+        # finding; the device solve below stays outside the lock)
+        with m.lock:
+            bias = self._current_bias()
+            Rwb1, twb1, Rcb, tcb = self._body_pose(R1, t1)
+            cur = BodyState(jnp.asarray(Rwb1, jnp.float32),
+                            jnp.asarray(twb1, jnp.float32),
+                            jnp.asarray(self._vel_w, jnp.float32),
+                            jnp.asarray(bias, jnp.float32))
 
-        use_last_frame = (not map_updated and self._imu_prior is not None)
-        if use_last_frame:
-            pre = self._pre_cur
-            anchor = self._imu_prior.state
-            prior = self._imu_prior
-            fixed = False
-        else:
-            # anchor at the reference KF; merge the per-frame windows
-            if not self._pre_frames:
-                return None
-            pre = self._pre_frames[0]
-            for p in self._pre_frames[1:]:
-                pre = preint.merge(pre, p)
-            k = self.ref_kf
-            Rwb_k, twb_k, _, _ = self._body_pose(m.kf_R[k], m.kf_t[k])
-            anchor = BodyState(jnp.asarray(Rwb_k, jnp.float32),
-                               jnp.asarray(twb_k, jnp.float32),
-                               jnp.asarray(m.kf_vel[k], jnp.float32),
-                               jnp.asarray(m.kf_bias[k], jnp.float32))
-            prior = None
-            fixed = True
+            use_last_frame = (not map_updated and self._imu_prior is not None)
+            if use_last_frame:
+                pre = self._pre_cur
+                anchor = self._imu_prior.state
+                prior = self._imu_prior
+                fixed = False
+            else:
+                # anchor at the reference KF; merge the per-frame windows
+                if not self._pre_frames:
+                    return None
+                pre = self._pre_frames[0]
+                for p in self._pre_frames[1:]:
+                    pre = preint.merge(pre, p)
+                k = self.ref_kf
+                Rwb_k, twb_k, _, _ = self._body_pose(m.kf_R[k], m.kf_t[k])
+                anchor = BodyState(jnp.asarray(Rwb_k, jnp.float32),
+                                   jnp.asarray(twb_k, jnp.float32),
+                                   jnp.asarray(m.kf_vel[k], jnp.float32),
+                                   jnp.asarray(m.kf_bias[k], jnp.float32))
+                prior = None
+                fixed = True
 
-        # fixed-capacity padding (same recompilation-storm guard as the
-        # visual pose path)
-        cap = feats.capacity
-        n_sel = min(len(sel), cap)
-        pts = np.zeros((cap, 3), np.float32)
-        uv_obs = np.zeros((cap, 2), np.float32)
-        info = np.ones(cap, np.float32)
-        valid_sel = np.zeros(cap, bool)
-        pts[:n_sel] = m.mp_pos[ids_p[sel[:n_sel]]]
+            # fixed-capacity padding (same recompilation-storm guard as the
+            # visual pose path)
+            cap = feats.capacity
+            n_sel = min(len(sel), cap)
+            pts = np.zeros((cap, 3), np.float32)
+            uv_obs = np.zeros((cap, 2), np.float32)
+            info = np.ones(cap, np.float32)
+            valid_sel = np.zeros(cap, bool)
+            pts[:n_sel] = m.mp_pos[ids_p[sel[:n_sel]]]
         uv_obs[:n_sel] = np.asarray(feats.uv)[fidx_np[sel[:n_sel]]]
         info[:n_sel] = 1.0 / (
             1.2 ** (2 * np.asarray(feats.octave)[fidx_np[sel[:n_sel]]]))
@@ -756,10 +849,12 @@ class Tracker:
         R_cw = (np.asarray(Rcb) @ Rwb2.T).astype(np.float32)
         t_cw = (-R_cw @ np.asarray(out.p) + np.asarray(tcb)).astype(
             np.float32)
-        self._imu_prior = new_prior
-        self._vel_w = np.asarray(out.v, np.float32)
-        self._frame_bias = np.asarray(out.bias, np.float32)
-        return R_cw, t_cw, np.asarray(inl)[:len(sel)], int(n_in)
+        # NO side effects here: the caller commits (or discards) the
+        # velocity/bias/prior together with the pose, so a rejected solve
+        # can't leave them inconsistent with the published visual pose
+        return (R_cw, t_cw, np.asarray(inl)[:len(sel)], int(n_in),
+                new_prior, np.asarray(out.v, np.float32),
+                np.asarray(out.bias, np.float32))
 
     def _try_relocalize(self, feats: FrameFeatures, ts: float) -> bool:
         out = self.relocalizer(feats)
@@ -781,6 +876,8 @@ class Tracker:
 
     def _need_new_keyframe(self, n_in: int) -> bool:
         cfg = self.cfg
+        if self.only_tracking:
+            return False  # frozen map (NeedNewKeyFrame's mbOnlyTracking gate)
         if self.ref_kf < 0:
             return False
         ref_tracked = int((self.map.kf_obs_mp[self.ref_kf] >= 0).sum())
@@ -847,6 +944,16 @@ class Tracker:
             # adopt possibly-updated pose
             self.R_cw = self.map.kf_R[k].copy()
             self.t_cw = self.map.kf_t[k].copy()
+            if self.map.gauge_epoch != self._gauge_seen:
+                # mapping re-gauged the map (IMU init / scale refinement):
+                # the adopted KF pose is already new-gauge; update the rest
+                # of the motion state from the keyframe's estimated values
+                self._sync_gauge(transform_pose=False)
+                if self.imu_calib is not None and self.map.kf_valid[k]:
+                    self._vel_w = self.map.kf_vel[k].copy()
+                    self._frame_bias = self.map.kf_bias[k].copy()
+                self._vel_R = np.eye(3, dtype=np.float32)
+                self._vel_t = np.zeros(3, np.float32)
 
     def _update_mp_stats_after_insert(self, ids):
         ids = np.asarray(ids)
@@ -867,9 +974,14 @@ class Tracker:
         Rr, tr = self.map.kf_R[self.ref_kf], self.map.kf_t[self.ref_kf]
         R_rel = self.R_cw @ Rr.T
         t_rel = self.t_cw - R_rel @ tr
+        obs = self._cur_obs
         self.trajectory.append(
             FrameRecord(ts=ts, ref_kf_uid=int(self.map.kf_uid[self.ref_kf]),
-                        Tcr_R=R_rel, Tcr_t=t_rel, state=self.state)
+                        Tcr_R=R_rel, Tcr_t=t_rel, state=self.state,
+                        obs_mp=None if obs is None else obs[0],
+                        obs_uid=None if obs is None else obs[1],
+                        obs_uv=None if obs is None else obs[2],
+                        obs_oct=None if obs is None else obs[3])
         )
 
     def export_trajectory(self) -> tuple[np.ndarray, np.ndarray]:

@@ -103,10 +103,52 @@ def detect(img: jax.Array, ini_th: float = INI_TH, min_th: float = MIN_TH) -> ja
     High-threshold corners get STRONG_BONUS added so per-cell selection
     prefers them (equivalent of the reference's iniThFAST/minThFAST retry).
     """
+    score, _ = detect_with_raw(img, ini_th, min_th)
+    return score
+
+
+def detect_with_raw(img: jax.Array, ini_th: float = INI_TH,
+                    min_th: float = MIN_TH):
+    """detect() plus the pre-NMS/pre-bonus response map, used for sub-pixel
+    peak interpolation (the bonus and NMS zeros would corrupt a 3x3
+    parabola fit)."""
     weak = fast_score_map(img, min_th)
     strong_mask = fast_score_map(img, ini_th) > 0
     score = weak + jnp.where(strong_mask & (weak > 0), STRONG_BONUS, 0.0)
-    return nms3(score)
+    return nms3(score), weak
+
+
+def subpixel_offsets(raw_score: jax.Array, ys: jax.Array, xs: jax.Array):
+    """Sub-pixel peak offsets by separable 3x3 quadratic interpolation.
+
+    The reference (like OpenCV ORB) keeps integer keypoint coordinates; at
+    octave o that quantization is +-0.5*1.2^o level-0 pixels — a dominant
+    noise term for far scene points. A parabola fit through the response at
+    the peak and its 4-neighborhood recovers the fractional peak position.
+    Returns (dy, dx) in [-0.5, 0.5], zero where the fit is degenerate.
+    """
+    h, w = raw_score.shape
+    flat = raw_score.reshape(-1)
+
+    def grab(dy, dx):
+        yy = jnp.clip(ys + dy, 0, h - 1)
+        xx = jnp.clip(xs + dx, 0, w - 1)
+        return jnp.take(flat, yy * w + xx)
+
+    c = grab(0, 0)
+    l, r = grab(0, -1), grab(0, 1)
+    u, d = grab(-1, 0), grab(1, 0)
+
+    def fit(lo, hi):
+        denom = lo - 2.0 * c + hi
+        off = jnp.where(jnp.abs(denom) > 1e-6,
+                        0.5 * (lo - hi) / jnp.where(
+                            jnp.abs(denom) > 1e-6, denom, 1.0), 0.0)
+        # only trust interior maxima (denom < 0 for a peak)
+        off = jnp.where(denom < 0, off, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    return fit(u, d), fit(l, r)
 
 
 @partial(jax.jit, static_argnames=("num", "cell", "per_cell"))

@@ -119,3 +119,27 @@ def optimize_pose(
         gn_round, (R0, t0, inlier0), None, length=n_rounds
     )
     return R, t, inlier > 0, jnp.sum(inlier).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("n_rounds", "n_iters"))
+def optimize_pose_batch(
+    R0: jax.Array,      # (F,3,3)
+    t0: jax.Array,      # (F,3)
+    points: jax.Array,  # (F,N,3)
+    uv: jax.Array,      # (F,N,2)
+    info: jax.Array,    # (F,N)
+    valid: jax.Array,   # (F,N)
+    camera,
+    n_rounds: int = 4,
+    n_iters: int = 10,
+):
+    """vmapped pose-only optimization over a batch of frames — one device
+    program refines a whole trajectory at once (used by the export-time
+    trajectory polish; there is no reference analog, the reference exports
+    raw per-frame poses)."""
+
+    def one(R0_, t0_, p_, u_, i_, v_):
+        return optimize_pose(R0_, t0_, p_, u_, i_, v_, camera,
+                             n_rounds=n_rounds, n_iters=n_iters)
+
+    return jax.vmap(one)(R0, t0, points, uv, info, valid)

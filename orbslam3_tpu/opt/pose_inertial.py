@@ -66,8 +66,14 @@ def _inertial_residual(si: BodyState, sj: BodyState, pre_dR, pre_dV, pre_dP,
                        JRg, JVg, JVa, JPg, JPa, bias0, dT, W):
     """Whitened 9-dim preintegration residual i -> j (EdgeInertial,
     G2oTypes.h:495)."""
-    dbg = sj.bias[:3] - bias0[:3]  # reference linearizes at the *preint* bias
-    dba = sj.bias[3:] - bias0[3:]
+    # bias correction uses the ANCHOR state's bias (reference wires
+    # EdgeInertial to VGk/VAk — the anchor's bias vertices, fixed in
+    # LastKeyFrame mode; Optimizer.cc PoseInertialOptimization*). Using the
+    # free current-frame bias would give this edge a spurious gradient that
+    # lets one preintegration window drag the bias, bypassing the
+    # random-walk edge that is meant to be the only bias constraint.
+    dbg = si.bias[:3] - bias0[:3]
+    dba = si.bias[3:] - bias0[3:]
     dR = pre_dR @ lie.so3_exp(JRg @ dbg)
     dV = pre_dV + JVg @ dbg + JVa @ dba
     dP = pre_dP + JPg @ dbg + JPa @ dba

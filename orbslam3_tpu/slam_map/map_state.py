@@ -75,6 +75,12 @@ class MapState:
         self.mp_found = np.zeros(P, np.int32)
         self.mp_first_kf = np.full(P, -1, np.int32)
         self.mp_ref_kf = np.full(P, -1, np.int32)
+        # stable landmark identity across slot reuse (reference
+        # MapPoint::mnId): culled slots are recycled by add_points, so any
+        # host-side snapshot of point ids (e.g. the trajectory polish's
+        # per-frame observation records) must be validated by uid
+        self.mp_uid = np.full(P, -1, np.int64)
+        self._next_mp_uid = 0
         # stable keyframe identity across slot reuse (reference KFs carry
         # monotonically increasing mnId; slots here are reusable storage)
         self.kf_uid = np.full(M, -1, np.int64)
@@ -97,6 +103,8 @@ class MapState:
         self.lock = threading.RLock()
         self.imu_initialized = False
         self.iba_stage = 0  # 0: none, 1: VIBA1 done, 2: VIBA2 done
+        self.gauge_epoch = 0       # bumped by apply_scaled_rotation
+        self.last_gauge = None     # (Rgw, s) of the latest re-gauge
         # bad-IMU detector output (reference mbBadImu,
         # LocalMapping.cc:140-150): insufficient motion for initialization —
         # the system resets the active map when it sees this
@@ -185,6 +193,12 @@ class MapState:
         self.mp_min_dist[live] *= s
         self.mp_max_dist[live] *= s
         self.change_index += 1
+        # gauge epoch: trackers watch this to re-express their cached
+        # motion state (velocity model, marginalization prior) in the new
+        # gauge — the reference's Tracking::UpdateFrameIMU hand-off after
+        # InitializeIMU (LocalMapping.cc:1283-1299)
+        self.gauge_epoch += 1
+        self.last_gauge = (Rgw.copy(), float(s))
 
     # -- map points ----------------------------------------------------------
     def add_points(self, pos, desc, first_kf, normals=None,
@@ -205,6 +219,9 @@ class MapState:
         self.mp_visible[free] = 1
         self.mp_found[free] = 1
         self.mp_valid[free] = True
+        self.mp_uid[free] = np.arange(self._next_mp_uid,
+                                      self._next_mp_uid + m, dtype=np.int64)
+        self._next_mp_uid += m
         self.change_index += 1
         return ids
 
@@ -260,8 +277,12 @@ class MapState:
                 continue
             lvl = self.kf_octave[kk[i], slots[i]]
             dmax = dist[i] * scale ** lvl
-            self.mp_max_dist[m_] = dmax * 1.2
-            self.mp_min_dist[m_] = 0.8 * dmax / scale ** (n_levels - 1)
+            # RAW band edges (reference mfMaxDistance/mfMinDistance,
+            # MapPoint::UpdateNormalAndDepth); the 0.8/1.2 tolerance factors
+            # are applied ONLY by the matcher's frustum gate — storing them
+            # here too widened the gate to [0.64, 1.44] (advisor finding)
+            self.mp_max_dist[m_] = dmax
+            self.mp_min_dist[m_] = dmax / scale ** (n_levels - 1)
         # distinctive descriptor: min-median-Hamming representative
         POP = _POPCOUNT_TABLE
         start = 0

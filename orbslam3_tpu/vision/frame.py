@@ -101,9 +101,10 @@ def _extract_features_impl(
     margin = image_k.ATLAS_MARGIN
 
     atlas = image_k.build_atlas(img, n_levels, scale)
-    score = fast_k.detect(atlas, ini_th, min_th)
+    score, raw_score = fast_k.detect_with_raw(atlas, ini_th, min_th)
 
-    ys_parts, xs_parts, uvs, resps, octs, valids = [], [], [], [], [], []
+    ys_parts, xs_parts, y0_parts, sx_parts, sy_parts = [], [], [], [], []
+    resps, octs, valids = [], [], []
     for lvl, ((y0, lh, lw), quota) in enumerate(zip(rows, quotas)):
         if quota <= 0:
             continue
@@ -116,18 +117,34 @@ def _extract_features_impl(
         )
         s_lvl = jnp.where(interior, s_lvl, 0.0)
         ys, xs, resp, valid = fast_k.select_uniform(s_lvl, quota, cell=cell)
-        s = scale ** lvl
-        uvs.append(jnp.stack(
-            [xs.astype(jnp.float32) * s, ys.astype(jnp.float32) * s], axis=-1))
+        # EXACT level->level-0 mapping: jax.image.resize (like cv::resize)
+        # is center-aligned with the TRUE ratio w/lw (level sizes are
+        # rounded), so x0 = (x + 0.5) * (w/lw) - 0.5. The naive x * 1.2^l
+        # carries a position-dependent systematic error up to ~1 px at
+        # coarse octaves — it cancels in pairwise residuals but deforms the
+        # map (low-residual, biased geometry).
         ys_parts.append(ys + y0)  # atlas coords
         xs_parts.append(xs)
+        y0_parts.append(jnp.full((quota,), y0, jnp.int32))
+        sx_parts.append(jnp.full((quota,), w / lw, jnp.float32))
+        sy_parts.append(jnp.full((quota,), h / lh, jnp.float32))
         resps.append(resp)
         octs.append(jnp.full((quota,), lvl, jnp.int32))
         valids.append(valid)
 
     ys_a = jnp.concatenate(ys_parts)
     xs_a = jnp.concatenate(xs_parts)
-    uv = jnp.concatenate(uvs)
+    sx = jnp.concatenate(sx_parts)
+    sy = jnp.concatenate(sy_parts)
+    # sub-pixel peak refinement on the raw response atlas: one batched
+    # gather for all levels' keypoints; offsets scale with the level so the
+    # level-0 coordinate keeps sub-pixel precision at every octave
+    dy_sp, dx_sp = fast_k.subpixel_offsets(raw_score, ys_a, xs_a)
+    y_lvl = (ys_a - jnp.concatenate(y0_parts)).astype(jnp.float32)
+    uv = jnp.stack(
+        [(xs_a.astype(jnp.float32) + dx_sp + 0.5) * sx - 0.5,
+         (y_lvl + dy_sp + 0.5) * sy - 0.5],
+        axis=-1)
 
     # orientation for all keypoints: dense moment maps + tiny gathers
     m10, m01 = desc_k.orientation_maps(atlas)

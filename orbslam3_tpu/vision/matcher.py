@@ -104,8 +104,9 @@ def search_by_projection(
                 dist, 1e-9)
             has_n = jnp.linalg.norm(mp_normal, axis=-1) > 1e-6
             vis = vis & (~has_n | (cosang > 0.5))
-        # PredictScale: level = ceil(log(maxDist/dist) / log 1.2)
-        lvl = jnp.ceil(jnp.log(jnp.maximum(mp_max_dist / 1.2, 1e-9)
+        # PredictScale: level = ceil(log(maxDist/dist) / log 1.2); the stored
+        # band edge is the RAW mfMaxDistance (no tolerance factor baked in)
+        lvl = jnp.ceil(jnp.log(jnp.maximum(mp_max_dist, 1e-9)
                                / jnp.maximum(dist, 1e-9)) / jnp.log(1.2))
         lvl = jnp.clip(lvl, 0, 7).astype(jnp.int32)
         oct_ok = jnp.abs(lvl[:, None] - f_octave[None, :]) <= 1

@@ -17,9 +17,14 @@ from orbslam3_tpu.datasets.synth_euroc import write_synth_euroc
 
 @pytest.fixture(scope="module")
 def seq_dir(tmp_path_factory):
+    # excitation=0.02: the mono pipeline test needs realistic (not
+    # IMU-observability-grade) dynamics — the 0.06 shake exists solely to
+    # make inertial scale observable and belongs to the VI golden test
+    # (test_vi_golden.py), which uses the default.
     d = str(tmp_path_factory.mktemp("synthseq"))
     write_synth_euroc(d, n_frames=28, width=400, height=304, fx=290.0,
-                      fy=290.0, seed=7, n_features=600, arc=1.0)
+                      fy=290.0, seed=7, n_features=600, arc=1.0,
+                      excitation=0.02)
     return d
 
 

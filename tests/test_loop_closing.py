@@ -222,6 +222,7 @@ class TestLoopCloser:
             ev = lc.process_keyframe(k)
             if ev is not None:
                 event = ev
+        lc.gba.join()  # background GBA must finish before map assertions
         assert event is not None, "loop not detected"
         assert event.kind == "loop"
         # drift scale was 1.1; the loop Sim3 (S_cur<-cand, the reference's
@@ -251,3 +252,172 @@ class TestLoopCloser:
             errs.append(np.linalg.norm(pred - m.kf_uv[k][sel], axis=-1))
         mean_reproj = float(np.concatenate(errs).mean())
         assert mean_reproj < 1.5, f"mean reprojection {mean_reproj:.2f} px"
+
+
+class TestGlobalBA:
+    """Interruptible global BA (RunGlobalBundleAdjustment,
+    LoopClosing.cc:1210,2272-2515): abort on demand, and spanning-tree
+    catch-up correction of keyframes/points created DURING the solve."""
+
+    def _noisy_map(self, n_kfs=10, n_pts=400, sigma_pose=0.03):
+        rng = np.random.default_rng(99)  # own stream: test-order independent
+        cfg = MapConfig(max_keyframes=64, max_points=4096,
+                        features_per_frame=512)
+        m = Atlas(cfg).active
+        R_true, t_true = circle_poses(n_kfs, radius=6.0)
+        pts = np.stack([rng.uniform(-1.5, 1.5, n_pts),
+                        rng.uniform(-1.5, 1.5, n_pts),
+                        rng.uniform(-1.5, 1.5, n_pts)], -1).astype(np.float32)
+        desc = rng.integers(0, 2**32, (n_pts, 8), dtype=np.uint32)
+        ids = m.add_points(pts, desc, first_kf=0)
+        prev = -1
+        for i in range(n_kfs):
+            R, t = R_true[i], t_true[i]
+            if i > 0:  # perturb all but the gauge keyframe
+                dR = Rotation.from_rotvec(
+                    rng.normal(0, sigma_pose / 3, 3)).as_matrix()
+                R = (dR @ R).astype(np.float32)
+                t = (t + rng.normal(0, sigma_pose, 3)).astype(np.float32)
+            xc = pts @ R_true[i].T + t_true[i]
+            uv = np.array(CAM.project(jnp.asarray(xc)))
+            vis = (xc[:, 2] > 0.5) & (np.abs(uv[:, 0] - 376) < 370) \
+                & (np.abs(uv[:, 1] - 240) < 235)
+            sel = np.nonzero(vis)[0][:512]
+            N = 512
+            kf_uv = np.zeros((N, 2), np.float32)
+            kf_desc = np.zeros((N, 8), np.uint32)
+            obs = np.full(N, -1, np.int32)
+            valid = np.zeros(N, bool)
+            kf_uv[:len(sel)] = uv[sel]
+            kf_desc[:len(sel)] = desc[sel]
+            obs[:len(sel)] = ids[sel]
+            valid[:len(sel)] = True
+            prev = m.add_keyframe(R, t, float(i), i, kf_uv,
+                                  np.zeros(N, np.int32),
+                                  np.zeros(N, np.float32),
+                                  kf_desc, valid, obs, prev_kf=prev)
+        return m, R_true, t_true, pts, desc, ids
+
+    def test_background_gba_converges(self):
+        from orbslam3_tpu.engine.global_ba import GlobalBA
+        m, R_true, t_true, pts, desc, ids = self._noisy_map()
+        kfs = m.keyframe_ids()
+
+        def pose_rms():
+            errs = [np.linalg.norm(-m.kf_R[k].T @ m.kf_t[k]
+                                   - (-R_true[i].T @ t_true[i]))
+                    for i, k in enumerate(kfs)]
+            return float(np.sqrt(np.mean(np.square(errs))))
+
+        before = pose_rms()
+        gba = GlobalBA(CAM, iters_per_block=5, n_blocks=3)
+        gba.request(m, fixed_kf=int(kfs[0]), background=True)
+        gba.join()
+        assert gba.n_finished == 1
+        after = pose_rms()
+        assert after < 0.35 * before, f"GBA {before:.4f} -> {after:.4f}"
+
+    def test_abort_discards_solution(self):
+        from orbslam3_tpu.engine.global_ba import GlobalBA
+        m, *_ = self._noisy_map()
+        kfs = m.keyframe_ids()
+        R_before = m.kf_R.copy()
+        gba = GlobalBA(CAM, iters_per_block=5, n_blocks=50)  # long solve
+        gba.request(m, fixed_kf=int(kfs[0]), background=True)
+        gba.abort_and_join()  # immediate abort (mbStopGBA)
+        assert gba.n_finished == 0
+        # an aborted GBA applies nothing
+        np.testing.assert_array_equal(m.kf_R, R_before)
+
+    def test_catchup_corrects_kfs_created_during_solve(self):
+        """Keyframes + points inserted WHILE the solve runs get the
+        spanning-tree catch-up correction (LoopClosing.cc:2400-2510)."""
+        from orbslam3_tpu.engine.global_ba import GlobalBA
+        m, R_true, t_true, pts, desc, ids = self._noisy_map()
+        kfs = list(m.keyframe_ids())
+        n0 = len(kfs)
+        gba = GlobalBA(CAM, iters_per_block=5, n_blocks=3)
+        gba.request(m, fixed_kf=int(kfs[0]), background=True)
+        # while solving, insert a child keyframe hanging off the last KF,
+        # with pose expressed in the OLD (uncorrected) gauge, plus a new
+        # point referenced to it
+        parent = kfs[-1]
+        R_rel = Rotation.from_rotvec([0, 0.05, 0]).as_matrix().astype(
+            np.float32)
+        t_rel = np.array([0.1, 0.0, 0.02], np.float32)
+        with m.lock:
+            R_child = (R_rel @ m.kf_R[parent]).astype(np.float32)
+            t_child = (R_rel @ m.kf_t[parent] + t_rel).astype(np.float32)
+            parent_old_R = m.kf_R[parent].copy()
+            parent_old_t = m.kf_t[parent].copy()
+            N = 512
+            child = m.add_keyframe(
+                R_child, t_child, float(n0), n0, np.zeros((N, 2), np.float32),
+                np.zeros(N, np.int32), np.zeros(N, np.float32),
+                np.zeros((N, 8), np.uint32), np.zeros(N, bool),
+                np.full(N, -1, np.int32), prev_kf=parent)
+            # a fresh landmark referenced to the child
+            p_new = m.add_points(np.array([[0.3, 0.2, 0.1]], np.float32),
+                                 RNG.integers(0, 2**32, (1, 8),
+                                              dtype=np.uint32),
+                                 first_kf=child)
+            cam_coords_old = m.kf_R[child] @ m.mp_pos[p_new[0]] \
+                + m.kf_t[child]
+        gba.join()
+        assert gba.n_finished == 1
+        # child must be re-expressed against the CORRECTED parent with the
+        # same relative transform
+        exp_R = R_rel @ m.kf_R[parent]
+        exp_t = R_rel @ m.kf_t[parent] + t_rel
+        assert np.linalg.norm(m.kf_R[child] - exp_R) < 1e-4
+        assert np.linalg.norm(m.kf_t[child] - exp_t) < 1e-4
+        # the fresh landmark keeps its camera-frame coords in the child view
+        cam_coords_new = m.kf_R[child] @ m.mp_pos[p_new[0]] + m.kf_t[child]
+        np.testing.assert_allclose(cam_coords_new, cam_coords_old, atol=1e-4)
+
+
+class TestConsistencyChains:
+    """Per-candidate temporal-consistency chains (LoopClosing.cc:380-401):
+    interleaved candidates from different places must not share a counter."""
+
+    def _closer(self):
+        cfg = MapConfig(max_keyframes=64, max_points=2048,
+                        features_per_frame=512)
+        atlas = Atlas(cfg)
+        voc = build_vocabulary(
+            RNG.integers(0, 2**32, (500, 8), dtype=np.uint32), k=5, depth=3)
+        db = KeyFrameDatabase(voc, max_keyframes=64)
+        lc = LoopCloser(CAM, atlas, db,
+                        LoopCloserConfig(consistency_threshold=3))
+        return lc, atlas.active
+
+    def test_interleaved_candidates_keep_separate_chains(self):
+        lc, m = self._closer()
+        uid = [100, 200, 300, 101, 201, 102]
+        # simulate _detect_and_correct's chain bookkeeping directly:
+        # candidates from place A (uids 10x) and place B (uids 20x, 30x)
+        # interleave; neither reaches 3 because each chain only counts its
+        # own covisible group hits
+        def step(groups):
+            prev = lc._chains.get(m.map_id, [])
+            new = []
+            for g in groups:
+                count = 1 + max((c for gg, c in prev if gg & g), default=0)
+                new.append((g, count))
+            lc._chains[m.map_id] = new
+            return max((c for _, c in new), default=0)
+
+        assert step([{100, 101}]) == 1          # A
+        assert step([{200, 201}]) == 1          # B (A's chain dies)
+        assert step([{102, 100}]) == 1          # A again: chain restarted
+        # consecutive hits on A now accumulate
+        assert step([{101, 102}]) == 2
+        assert step([{100, 102}]) == 3          # would fire at threshold 3
+
+    def test_chains_are_per_map(self):
+        lc, m = self._closer()
+        lc._chains[0] = [({1, 2}, 2)]
+        lc._chains[7] = [({1, 2}, 1)]
+        # map 7's chain is independent of map 0's
+        assert lc._chains[0][0][1] == 2
+        assert lc._chains[7][0][1] == 1
