@@ -31,6 +31,14 @@ def main():
     ap.add_argument('--save-tum', default='')
     ap.add_argument('--cpu', action='store_true')
     ap.add_argument('--quiet', action='store_true')
+    ap.add_argument('--load-atlas', default='',
+                    help='warm-start from an atlas checkpoint (.npz)')
+    ap.add_argument('--save-atlas', default='',
+                    help='save the atlas checkpoint at shutdown')
+    ap.add_argument('--localization', action='store_true',
+                    help='localization-only mode: freeze mapping, track + '
+                         'relocalize against the loaded atlas '
+                         '(System::ActivateLocalizationMode)')
     args = ap.parse_args()
 
     if args.cpu:
@@ -62,7 +70,10 @@ def main():
                           features_per_frame=settings.n_features))
     if args.imu:
         sys_cfg.imu_calib = settings.imu_calib()
-    slam = Slam(cam, sys_cfg)
+    slam = Slam(cam, sys_cfg,
+                load_atlas_from=args.load_atlas or None)
+    if args.localization:
+        slam.activate_localization_mode()
 
     import cv2
     imu_iter = imu_batches(seq) if args.imu else None
@@ -97,6 +108,9 @@ def main():
     if args.save_tum:
         slam.save_trajectory_tum(args.save_tum)
         print('saved', args.save_tum)
+    if args.save_atlas:
+        slam.save_atlas(args.save_atlas)
+        print('saved atlas', args.save_atlas)
     if seq.gt_ts is not None:
         poses = slam._full_poses(0)
         if len(poses) >= 5:

@@ -26,6 +26,93 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 BASELINE_MS = 30.0  # reference tracking ms/frame midpoint (i7, BASELINE.md)
+# Reference-scale estimates for the two secondary rooflines (BASELINE.md has
+# no in-repo numbers for these; values estimated from the reference's
+# REGISTER_TIMES stage taxonomy on i7-class hardware):
+#  - local BA: ~40-100 ms per ~4-10 LM iterations -> ~10 ms/iteration
+#  - SearchByProjection: ~3 ms for a 1000-feature frame -> ~333k features/s
+BASELINE_BA_MS_PER_ITER = 10.0
+BASELINE_MATCH_FEAT_PER_S = 333_000.0
+
+
+def bench_local_ba():
+    """Local-BA ms/iteration at a reference-shaped window: 12 free + 8
+    fixed keyframes, 2k landmarks, 8k observations (VERDICT r2 #6)."""
+    from orbslam3_tpu.core.camera import Camera
+    from orbslam3_tpu.opt.ba import BAProblem, bundle_adjust
+
+    rng = np.random.default_rng(7)
+    cam = Camera.pinhole(458.0, 458.0, 320.0, 240.0)
+    M, P, O = 20, 2048, 8192
+    pts = np.stack([rng.uniform(-3, 3, P), rng.uniform(-2, 2, P),
+                    rng.uniform(4, 10, P)], -1).astype(np.float32)
+    R = np.tile(np.eye(3, dtype=np.float32), (M, 1, 1))
+    t = rng.uniform(-0.5, 0.5, (M, 3)).astype(np.float32)
+    kf_idx = rng.integers(0, M, O).astype(np.int32)
+    lm_idx = rng.integers(0, P, O).astype(np.int32)
+    xc = np.einsum("oij,oj->oi", R[kf_idx], pts[lm_idx]) + t[kf_idx]
+    uv = np.asarray(cam.project(jnp.asarray(xc)))
+    uv = uv + rng.normal(0, 0.5, uv.shape).astype(np.float32)
+    fixed = np.zeros(M, bool)
+    fixed[12:] = True
+    prob = BAProblem(
+        R=jnp.asarray(R), t=jnp.asarray(t), points=jnp.asarray(pts),
+        kf_idx=jnp.asarray(kf_idx), lm_idx=jnp.asarray(lm_idx),
+        uv=jnp.asarray(uv), info=jnp.ones(O, jnp.float32),
+        valid=jnp.ones(O, bool), fixed_kf=jnp.asarray(fixed),
+        fixed_lm=jnp.zeros(P, bool))
+    n_iters = 10
+    out, _, _ = bundle_adjust(prob, cam, n_iters=n_iters)  # compile
+    jax.block_until_ready(out)
+    reps = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out, _, _ = bundle_adjust(prob, cam, n_iters=n_iters)
+        jax.block_until_ready(out)
+        reps.append((time.perf_counter() - t0) / n_iters * 1e3)
+    return float(np.median(reps))
+
+
+def bench_matcher():
+    """Frame-to-map association throughput: one search_by_projection of a
+    1000-feature frame against a 2048-landmark padded candidate set;
+    reported as features associated per second per chip."""
+    from orbslam3_tpu.core.camera import Camera
+    from orbslam3_tpu.kernels import orb_descriptor as desc_k
+    from orbslam3_tpu.vision import matcher
+
+    rng = np.random.default_rng(9)
+    cam = Camera.pinhole(458.0, 458.0, 320.0, 240.0)
+    K, N = 2048, 1000
+    mp_pos = jnp.asarray(np.stack(
+        [rng.uniform(-3, 3, K), rng.uniform(-2, 2, K),
+         rng.uniform(4, 10, K)], -1).astype(np.float32))
+    mp_planes = desc_k.descriptor_planes(jnp.asarray(
+        rng.integers(0, 2 ** 32, (K, 8), dtype=np.uint32)))
+    f_uv = jnp.asarray(rng.uniform(0, 640, (N, 2)).astype(np.float32))
+    f_planes = desc_k.descriptor_planes(jnp.asarray(
+        rng.integers(0, 2 ** 32, (N, 8), dtype=np.uint32)))
+    f_oct = jnp.zeros(N, jnp.int32)
+    ones_k = jnp.ones(K, bool)
+    ones_n = jnp.ones(N, bool)
+    R0 = jnp.eye(3)
+    t0v = jnp.zeros(3)
+    r = jnp.asarray(15.0, jnp.float32)
+    out = matcher.search_by_projection(mp_pos, mp_planes, ones_k, R0, t0v,
+                                       cam, f_uv, f_planes, f_oct, ones_n, r)
+    jax.block_until_ready(out)
+    reps = []
+    for _ in range(5):
+        n_calls = 20
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            out = matcher.search_by_projection(
+                mp_pos, mp_planes, ones_k, R0, t0v, cam,
+                f_uv, f_planes, f_oct, ones_n, r)
+        jax.block_until_ready(out)
+        reps.append((time.perf_counter() - t0) / n_calls)
+    per_call_s = float(np.median(reps))
+    return N / per_call_s
 
 
 def main():
@@ -59,11 +146,21 @@ def main():
         batches.append((time.perf_counter() - t_start) / n_iters * 1e3)
     ms = float(np.median(batches))
 
+    ba_ms = bench_local_ba()
+    match_fps = bench_matcher()
     print(json.dumps({
         "metric": "tracking_frontend_ms_per_frame",
         "value": round(ms, 3),
         "unit": "ms",
         "vs_baseline": round(BASELINE_MS / ms, 3),
+        "extra": [
+            {"metric": "local_ba_ms_per_iteration",
+             "value": round(ba_ms, 3), "unit": "ms",
+             "vs_baseline": round(BASELINE_BA_MS_PER_ITER / ba_ms, 3)},
+            {"metric": "orb_match_features_per_s",
+             "value": round(match_fps, 0), "unit": "features/s",
+             "vs_baseline": round(match_fps / BASELINE_MATCH_FEAT_PER_S, 3)},
+        ],
     }))
 
 

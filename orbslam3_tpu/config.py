@@ -76,6 +76,12 @@ class Settings:
     bf: float = 0.0                   # baseline * fx (Camera.bf)
     th_depth: float = 35.0            # close/far point threshold
     T_c1_c2: np.ndarray | None = None  # stereo extrinsics (Stereo.T_c1_c2)
+    # right camera (non-rectified stereo); None -> same as left
+    fx2: float | None = None
+    fy2: float | None = None
+    cx2: float | None = None
+    cy2: float | None = None
+    dist2: tuple | None = None
     # rgbd
     depth_map_factor: float = 1.0
     # imu
@@ -129,6 +135,22 @@ class Settings:
                                                      get('ThDepth', 35.0))))
         if get('Stereo.T_c1_c2') is not None:
             s.T_c1_c2 = np.asarray(get('Stereo.T_c1_c2'), np.float64)
+        # right camera intrinsics (fisheye pairs are NOT rectified, so
+        # Camera2 keeps its own calibration; reference Settings::readCamera2)
+        if get('Camera2.fx') is not None:
+            s.fx2 = float(get('Camera2.fx'))
+            s.fy2 = float(get('Camera2.fy', s.fx2))
+            s.cx2 = float(get('Camera2.cx', 0.0))
+            s.cy2 = float(get('Camera2.cy', 0.0))
+            if s.camera_type == 'KannalaBrandt8':
+                s.dist2 = tuple(float(get(f'Camera2.k{i}', 0.0))
+                                for i in (1, 2, 3, 4))
+            else:
+                s.dist2 = (float(get('Camera2.k1', 0.0)),
+                           float(get('Camera2.k2', 0.0)),
+                           float(get('Camera2.p1', 0.0)),
+                           float(get('Camera2.p2', 0.0)),
+                           float(get('Camera2.k3', 0.0)))
         s.depth_map_factor = float(get('RGBD.DepthMapFactor',
                                        get('DepthMapFactor', 1.0)))
         # IMU
@@ -178,6 +200,20 @@ class Settings:
         return Camera.pinhole(fx, fy, cx, cy, dist=tuple(dist),
                               width=w, height=h)
 
+    def camera2(self):
+        """Right camera model for non-rectified stereo pairs (falls back to
+        the left intrinsics when Camera2.* is absent)."""
+        from .core.camera import Camera
+        if self.fx2 is None:
+            return self.camera()
+        if self.camera_type == 'KannalaBrandt8':
+            return Camera.kb8(self.fx2, self.fy2, self.cx2, self.cy2,
+                              *self.dist2[:4],
+                              width=self.width, height=self.height)
+        return Camera.pinhole(self.fx2, self.fy2, self.cx2, self.cy2,
+                              dist=tuple(self.dist2 or (0.,) * 5),
+                              width=self.width, height=self.height)
+
     def imu_calib(self):
         """Device ImuCalib from the yaml IMU block (reference
         `Settings::readIMU`, src/Settings.cc)."""
@@ -206,6 +242,20 @@ class Settings:
             bf = float(np.linalg.norm(self.T_c1_c2[:3, 3])) * fx
         tracker = TrackerConfig(n_features=self.n_features, bf=bf,
                                 th_depth=self.th_depth)
+        if (self.stereo and self.camera_type == 'KannalaBrandt8'
+                and self.T_c1_c2 is not None):
+            # non-rectified fisheye pair: dispatch the KB8 two-view
+            # triangulation path instead of the rectified row search
+            # (KannalaBrandt8::TriangulateMatches; Settings.cc Tlr parsing)
+            T = self.T_c1_c2  # pose of cam2 in cam1: x_c1 = R t * x_c2
+            R12 = T[:3, :3].astype(np.float32)
+            t12 = T[:3, 3].astype(np.float32)
+            tracker.fisheye_stereo = True
+            tracker.camera2 = self.camera2()
+            tracker.stereo_R_rl = R12.T              # right<-left
+            tracker.stereo_t_rl = (-R12.T @ t12).astype(np.float32)
+            tracker.baseline_m = float(np.linalg.norm(t12))
+            tracker.bf = 0.0  # no rectified virtual-uR residuals
         if self.stereo or self.inertial:
             # reference thRefRatio: 0.75 for stereo/inertial, 0.9 mono
             # (Tracking::NeedNewKeyFrame, Tracking.cc:3208 region)

@@ -63,17 +63,28 @@ class BoxScene:
 
     def render(self, K: np.ndarray, R_cw: np.ndarray, t_cw: np.ndarray,
                width: int, height: int, noise_std: float = 1.5,
-               seed: int = 0) -> np.ndarray:
-        """Grayscale uint8 (height, width) view from camera (R_cw, t_cw)."""
+               seed: int = 0, camera=None) -> np.ndarray:
+        """Grayscale uint8 (height, width) view from camera (R_cw, t_cw).
+
+        With `camera` (a core.camera.Camera, e.g. KB8 fisheye), rays come
+        from the camera model's unprojection instead of the pinhole K —
+        renders geometrically exact distorted imagery."""
         import cv2
         rng = np.random.default_rng(seed)
         # pixel rays in world frame; pixel centers at integer coordinates
         # (OpenCV convention, matching the extractor's keypoint coordinates)
         u, v = np.meshgrid(np.arange(width, dtype=np.float64),
                            np.arange(height, dtype=np.float64))
-        d_c = np.stack([(u - K[0, 2]) / K[0, 0],
-                        (v - K[1, 2]) / K[1, 1],
-                        np.ones_like(u)], axis=-1)          # (H,W,3)
+        if camera is not None:
+            import jax.numpy as jnp
+            uv = np.stack([u.reshape(-1), v.reshape(-1)], -1)
+            d_c = np.asarray(camera.unproject(
+                jnp.asarray(uv, jnp.float32))).astype(np.float64)
+            d_c = d_c.reshape(height, width, 3)
+        else:
+            d_c = np.stack([(u - K[0, 2]) / K[0, 0],
+                            (v - K[1, 2]) / K[1, 1],
+                            np.ones_like(u)], axis=-1)      # (H,W,3)
         R_wc = R_cw.T
         o = -R_wc @ t_cw                                     # camera center
         d_w = d_c @ R_wc.T                                   # (H,W,3)

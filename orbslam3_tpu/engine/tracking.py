@@ -71,6 +71,18 @@ class TrackerConfig:
     stereo_min_z: float = 0.1        # closest admissible stereo depth (m)
     th_depth: float = 35.0           # close-point threshold in baselines
     stereo_init_min_points: int = 100  # StereoInitialization gate (ref: 500)
+    # non-rectified fisheye stereo (KannalaBrandt8 pair with Stereo.T_c1_c2
+    # extrinsics; reference KannalaBrandt8::TriangulateMatches +
+    # Frame fisheye ctor, Frame.cc:384+): depth comes from two-view midpoint
+    # triangulation instead of the rectified row search. No virtual-uR
+    # stereo residuals (those assume rectified pinhole geometry) — depth
+    # anchors the map through stereo init + close-point spawning, and scale
+    # is pinned by the IMU on the TUM-VI-style stereo-inertial configs.
+    fisheye_stereo: bool = False
+    camera2: object = None           # right camera model (defaults to left)
+    stereo_R_rl: object = None       # (3,3) right<-left rotation
+    stereo_t_rl: object = None       # (3,)
+    baseline_m: float = 0.0          # metric baseline (close-point gate)
 
 
 @dataclasses.dataclass
@@ -244,8 +256,10 @@ class Tracker:
 
     def process_stereo(self, img_left: np.ndarray, img_right: np.ndarray,
                        ts: float):
-        """Rectified stereo entry (GrabImageStereo, Tracking.cc:1546):
-        extract both images, row-band match, attach per-feature depth."""
+        """Stereo entry (GrabImageStereo, Tracking.cc:1546): extract both
+        images and attach per-feature depth — rectified row-band matching
+        for pinhole pairs, two-view midpoint triangulation for non-rectified
+        fisheye pairs (KannalaBrandt8::TriangulateMatches path)."""
         from orbslam3_tpu.vision import stereo as stereo_m
         featsL = extract_features(jnp.asarray(img_left, jnp.float32),
                                   n_features=self.cfg.n_features)
@@ -253,15 +267,28 @@ class Tracker:
                                   n_features=self.cfg.n_features)
         pL = desc_k.descriptor_planes(featsL.desc)
         pR = desc_k.descriptor_planes(featsR.desc)
-        bf = self.cfg.bf
-        u_r, depth, good = stereo_m.stereo_match(
-            featsL.uv, pL, featsL.octave, featsL.valid,
-            featsR.uv, pR, featsR.octave, featsR.valid,
-            jnp.asarray(bf, jnp.float32),
-            jnp.asarray(self.cfg.stereo_min_z, jnp.float32),
-            jnp.asarray(bf / max(self.cfg.stereo_min_z, 1e-6), jnp.float32))
-        self._cur_depth = np.asarray(depth)
-        self._cur_uright = np.asarray(u_r)
+        if self.cfg.fisheye_stereo:
+            cam2 = self.cfg.camera2 or self.camera
+            depth, good, _ = stereo_m.fisheye_stereo_match(
+                featsL.uv, pL, featsL.valid,
+                featsR.uv, pR, featsR.valid,
+                self.camera, cam2,
+                jnp.asarray(self.cfg.stereo_R_rl, jnp.float32),
+                jnp.asarray(self.cfg.stereo_t_rl, jnp.float32))
+            self._cur_depth = np.where(np.asarray(good),
+                                       np.asarray(depth), 0.0)
+            self._cur_uright = None  # no rectified virtual-uR residuals
+        else:
+            bf = self.cfg.bf
+            u_r, depth, good = stereo_m.stereo_match(
+                featsL.uv, pL, featsL.octave, featsL.valid,
+                featsR.uv, pR, featsR.octave, featsR.valid,
+                jnp.asarray(bf, jnp.float32),
+                jnp.asarray(self.cfg.stereo_min_z, jnp.float32),
+                jnp.asarray(bf / max(self.cfg.stereo_min_z, 1e-6),
+                            jnp.float32))
+            self._cur_depth = np.asarray(depth)
+            self._cur_uright = np.asarray(u_r)
         out = self.process_features(featsL, ts)
         self._cur_depth = None
         self._cur_uright = None
@@ -310,8 +337,10 @@ class Tracker:
             self._pre_frames.append(self._pre_cur)
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             # secondary clients on a mature shared map relocalize instead of
-            # re-initializing (System.cc:517-519, client.cc:166)
-            if (self.client_id != 0 and self.relocalizer is not None
+            # re-initializing (System.cc:517-519, client.cc:166); so does
+            # ANY tracker in localization-only mode (frozen loaded atlas)
+            if ((self.client_id != 0 or self.only_tracking)
+                    and self.relocalizer is not None
                     and self.map.n_keyframes >= 5):
                 if self._try_relocalize(feats, ts):
                     self.state = TrackingState.OK
@@ -763,7 +792,7 @@ class Tracker:
         self._frames_since_kf += 1
 
         # keyframe policy
-        if self._need_new_keyframe(n_in):
+        if self._need_new_keyframe(n_in, ts):
             with timing.stage("track.new_kf"):
                 self._create_keyframe(feats, ts, mp_ids)
         return True
@@ -874,7 +903,7 @@ class Tracker:
         self._lost_count = 0
         return True
 
-    def _need_new_keyframe(self, n_in: int) -> bool:
+    def _need_new_keyframe(self, n_in: int, ts: float = None) -> bool:
         cfg = self.cfg
         if self.only_tracking:
             return False  # frozen map (NeedNewKeyFrame's mbOnlyTracking gate)
@@ -885,7 +914,17 @@ class Tracker:
             return False
         weak = n_in < cfg.kf_ref_ratio * ref_tracked
         stale = self._frames_since_kf >= cfg.kf_max_interval
-        return weak or stale
+        # inertial configs need a DENSE temporal chain: the reference forces
+        # a keyframe every 0.25 s before IMU init and every 0.5 s after
+        # (Tracking::NeedNewKeyFrame, Tracking.cc:3246-3260) — sparse
+        # preintegration windows alias the excitation, the inertial-only
+        # MAP's velocity seeds go bad, and initialization diverges
+        imu_due = False
+        if self.imu_calib is not None and ts is not None \
+                and self.map.kf_valid[self.ref_kf]:
+            gap = ts - float(self.map.kf_ts[self.ref_kf])
+            imu_due = gap >= (0.25 if not self.map.imu_initialized else 0.5)
+        return weak or stale or imu_due
 
     def _create_keyframe(self, feats: FrameFeatures, ts: float,
                          mp_ids: np.ndarray):
@@ -920,9 +959,13 @@ class Tracker:
             return  # map at keyframe capacity; keep tracking without a KF
         # stereo/RGB-D: spawn close map points for unmatched features
         # (CreateNewKeyFrame close-point insertion, Tracking.cc:3400-3470)
-        if self._cur_depth is not None and self.cfg.bf > 0:
-            fx = float(np.asarray(self.camera.params)[0])
-            close = self.cfg.bf / fx * self.cfg.th_depth
+        if self._cur_depth is not None and (self.cfg.bf > 0
+                                            or self.cfg.fisheye_stereo):
+            if self.cfg.fisheye_stereo:
+                close = self.cfg.baseline_m * self.cfg.th_depth
+            else:
+                fx = float(np.asarray(self.camera.params)[0])
+                close = self.cfg.bf / fx * self.cfg.th_depth
             new = (np.asarray(f.valid) & (mp_ids < 0)
                    & (self._cur_depth > 0) & (self._cur_depth < close))
             sel = np.nonzero(new)[0]

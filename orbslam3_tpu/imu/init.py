@@ -104,6 +104,7 @@ def initialize_imu(
     prior_gyro: float = 1e2,
     prior_acc: float = 1e10,
     fix_scale: bool = False,
+    fix_vel: bool = False,
     regauge: bool = True,
     min_kfs: int = 6,
     n_iters: int = 20,
@@ -126,7 +127,7 @@ def initialize_imu(
     v0 = jnp.asarray(m.kf_vel[kfs]) if m.imu_initialized else None
     init = iopt.inertial_only_optimize(
         Rwb, twb, edges, prior_gyro=prior_gyro, prior_acc=prior_acc,
-        v0=v0, n_iters=n_iters, fix_scale=fix_scale)
+        v0=v0, n_iters=n_iters, fix_scale=fix_scale, fix_vel=fix_vel)
     s = float(init.scale)
     if not np.isfinite(s) or s < 1e-1:
         # reference aborts on degenerate scale (LocalMapping.cc:1275-1280)
@@ -153,7 +154,8 @@ def initialize_imu(
 def full_inertial_ba(m: MapState, calib: ImuCalib, camera,
                      n_iters: int = 8, points_cap: int = 4096,
                      obs_cap: int = 16384, fix_first: bool = True,
-                     window: int | None = None):
+                     window: int | None = None,
+                     prior_gyro: float = 0.0, prior_acc: float = 0.0):
     """Visual-inertial BA over the temporal chain (reference
     `FullInertialBA`, Optimizer.cc:392 — run once after IMU init; with
     `window=W` it becomes the sliding-window `LocalInertialBA`,
@@ -161,16 +163,15 @@ def full_inertial_ba(m: MapState, calib: ImuCalib, camera,
     the fixed border). Writes optimized poses/velocities/biases/points back
     into the map."""
     kfs, pres = chain_with_preint(m)
-    if window is not None and len(kfs) > window + 1:
+    windowed = window is not None and len(kfs) > window + 1
+    if windowed:
         cut = len(kfs) - (window + 1)  # keep one extra as the fixed border
         kfs, pres = kfs[cut:], pres[cut:]
         fix_first = True
     if len(kfs) < 3:
         return None
-    pairs = [(i, i + 1) for i in range(len(kfs) - 1)]
-    edges = iopt.build_edges(pres, pairs)
-    Rwb, twb = body_poses(m, kfs, calib)
-    M = len(kfs)
+    n_chain = len(kfs)
+    pairs = [(i, i + 1) for i in range(n_chain - 1)]
 
     obs = m.kf_obs_mp[kfs]
     mp_ids = np.unique(obs[obs >= 0])
@@ -178,6 +179,29 @@ def full_inertial_ba(m: MapState, calib: ImuCalib, camera,
     P = len(mp_ids)
     if P == 0:
         return None
+
+    fixed_obs: list[int] = []
+    if windowed:
+        # FIXED observer border (reference LocalInertialBA's
+        # lFixedKeyFrames, Optimizer.cc:2440-2480): out-of-window keyframes
+        # that observe the window's landmarks join as fixed visual anchors.
+        # Without them every window solve moves the landmarks free of the
+        # older map's observations and the gauge drifts cumulatively
+        # (measured: ~3%/keyframe scale inflation on the VI golden run).
+        in_chain = np.zeros(m.cfg.max_keyframes, bool)
+        in_chain[kfs] = True
+        mp_mask = np.zeros(m.cfg.max_points, bool)
+        mp_mask[mp_ids] = True
+        kk_all, ss_all = np.nonzero(m.kf_valid[:, None] & (m.kf_obs_mp >= 0))
+        sees = mp_mask[m.kf_obs_mp[kk_all, ss_all]] & ~in_chain[kk_all]
+        cand, counts = np.unique(kk_all[sees], return_counts=True)
+        # strongest observers first, small cap to bound the problem
+        fixed_obs = [int(x) for x in cand[np.argsort(-counts)][:12]]
+
+    kfs = list(kfs) + fixed_obs
+    edges = iopt.build_edges(pres, pairs)
+    Rwb, twb = body_poses(m, kfs, calib)
+    M = len(kfs)
     lm_lut = np.full(m.cfg.max_points, -1, np.int32)
     lm_lut[mp_ids] = np.arange(P)
     kf_lut = np.full(m.cfg.max_keyframes, -1, np.int32)
@@ -208,6 +232,7 @@ def full_inertial_ba(m: MapState, calib: ImuCalib, camera,
     fixed_kf = np.zeros(M, bool)
     if fix_first:
         fixed_kf[0] = True
+    fixed_kf[n_chain:] = True  # observer border stays put
 
     prob = iopt.VIBAProblem(
         Rwb=Rwb, twb=twb,
@@ -223,7 +248,9 @@ def full_inertial_ba(m: MapState, calib: ImuCalib, camera,
     Rcb_np, tcb_np = cam_from_body(calib)
     Rcb, tcb = jnp.asarray(Rcb_np), jnp.asarray(tcb_np)
     out, costs = iopt.visual_inertial_ba(prob, edges, camera, Rcb, tcb,
-                                         n_iters=n_iters)
+                                         n_iters=n_iters,
+                                         prior_gyro=prior_gyro,
+                                         prior_acc=prior_acc)
 
     # write back: body -> camera poses
     Rcw, tcw = iopt.body_to_cam(out.Rwb, out.twb, Rcb, tcb)
@@ -233,4 +260,10 @@ def full_inertial_ba(m: MapState, calib: ImuCalib, camera,
     m.kf_bias[kfs] = np.asarray(out.bias, np.float32)
     m.mp_pos[mp_ids] = np.asarray(out.points[:P], np.float32)
     m.change_index += 1
+    # VI-BA can re-gauge geometry (nothing pins the similarity gauge except
+    # the inertial terms when fix_first=False): the scale-band / normal
+    # statistics must follow or the matcher's frustum gates reject the whole
+    # map on the next frame (root cause of the post-init tracking loss on
+    # the VI and fisheye goldens)
+    m.update_point_stats(mp_ids)
     return costs

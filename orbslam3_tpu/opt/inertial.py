@@ -133,7 +133,7 @@ class InertialInit(NamedTuple):
     cost: jax.Array    # final whitened cost
 
 
-@partial(jax.jit, static_argnames=("n_iters", "fix_scale"))
+@partial(jax.jit, static_argnames=("n_iters", "fix_scale", "fix_vel"))
 def inertial_only_optimize(
     Rwb: jax.Array,   # (M,3,3) body rotations from vision (fixed)
     p: jax.Array,     # (M,3) body positions from vision (fixed, pre-scale)
@@ -143,6 +143,7 @@ def inertial_only_optimize(
     v0: jax.Array | None = None,
     n_iters: int = 20,
     fix_scale: bool = False,
+    fix_vel: bool = False,
 ) -> InertialInit:
     """Inertial-only MAP (reference `InertialOptimization`,
     Optimizer.cc:3042-3225): poses fixed, solve {Rwg(2), log s(1), bias(6),
@@ -207,6 +208,12 @@ def inertial_only_optimize(
         b = J.T @ r
         H = H + lam * jnp.diag(jnp.maximum(jnp.diag(H), 1e-8))
         dx = -jnp.linalg.solve(H, b)
+        if fix_vel:
+            # scale-refinement mode (reference InertialOptimization(Map*,
+            # Rwg, scale) at Optimizer.cc:3389): only scale + gravity move;
+            # free velocities would absorb the very scale error being
+            # estimated
+            dx = dx.at[9:].set(0.0).at[3:9].set(0.0)
         x_new = x + dx
         better = jnp.sum(residual_vec(x_new) ** 2) < jnp.sum(r ** 2)
         x = jnp.where(better, x_new, x)
@@ -344,8 +351,15 @@ def _vi_inertial_system(prob: VIBAProblem, edges: InertialEdges):
 
 
 def vi_ba_iteration(prob: VIBAProblem, edges: InertialEdges, camera,
-                    Rcb, tcb, lam):
-    """One damped GN iteration of visual-inertial BA with landmark Schur."""
+                    Rcb, tcb, lam, prior_g=0.0, prior_a=0.0):
+    """One damped GN iteration of visual-inertial BA with landmark Schur.
+
+    `prior_g`/`prior_a`: zero-mean bias prior weights (the reference's
+    EdgePriorGyro/EdgePriorAcc on the shared bias during initialization-
+    stage FullInertialBA, Optimizer.cc:569-589). With per-KF biases tied by
+    the random-walk edges, a per-KF prior is the equivalent formulation.
+    Without these, the early VI-BA lets acc bias absorb residual gravity
+    misalignment and velocity/scale run away (measured on the VI golden)."""
     M = prob.Rwb.shape[0]
     P = prob.points.shape[0]
     dtype = prob.points.dtype
@@ -366,6 +380,17 @@ def vi_ba_iteration(prob: VIBAProblem, edges: InertialEdges, camera,
     H_in, b_in = _vi_inertial_system(prob, edges)
 
     H = H_in
+    # zero-mean bias priors: quadratic 0.5*pg|bg|^2 + 0.5*pa|ba|^2 per KF
+    pg = jnp.asarray(prior_g, dtype)
+    pa = jnp.asarray(prior_a, dtype)
+    prior_diag = jnp.concatenate([jnp.zeros(9, dtype),
+                                  pg * jnp.ones(3, dtype),
+                                  pa * jnp.ones(3, dtype)])
+    H = H + jnp.diag(jnp.tile(prior_diag, M))
+    b_prior = jnp.concatenate(
+        [jnp.zeros((M, 9), dtype),
+         pg * prob.bias[:, :3], pa * prob.bias[:, 3:]], axis=1)
+    b_in = b_in + b_prior.reshape(-1)
     pad = jnp.zeros((M, D, D), dtype).at[:, :6, :6].set(Hpp_v)
     idx = jnp.arange(M)
     rows = (idx[:, None, None] * D + jnp.arange(D)[None, :, None])
@@ -430,7 +455,7 @@ def vi_ba_iteration(prob: VIBAProblem, edges: InertialEdges, camera,
 
 
 def _vi_total_cost(prob: VIBAProblem, edges: InertialEdges, camera,
-                   Rcb, tcb):
+                   Rcb, tcb, prior_g=0.0, prior_a=0.0):
     """Visual Huber cost + whitened inertial/bias-walk squared residuals,
     with a NaN guard (non-finite -> +inf so a diverged step never wins)."""
     res, _, _, chi2, xc = _vi_reproj(prob, camera, Rcb, tcb)
@@ -446,14 +471,19 @@ def _vi_total_cost(prob: VIBAProblem, edges: InertialEdges, camera,
                     prob.bias[edges.j] - prob.bias[edges.i])
     c_in = jnp.sum((r_in ** 2 + 0.0) * edges.valid[:, None]) + jnp.sum(
         (rw ** 2) * edges.valid[:, None])
-    total = c_vis + c_in
+    c_prior = (jnp.asarray(prior_g, prob.twb.dtype)
+               * jnp.sum(prob.bias[:, :3] ** 2)
+               + jnp.asarray(prior_a, prob.twb.dtype)
+               * jnp.sum(prob.bias[:, 3:] ** 2))
+    total = c_vis + c_in + c_prior
     bad = ~jnp.isfinite(total)
     return jnp.where(bad, jnp.inf, total)
 
 
 @partial(jax.jit, static_argnames=("n_iters",))
 def visual_inertial_ba(prob: VIBAProblem, edges: InertialEdges, camera,
-                       Rcb, tcb, n_iters: int = 10, lambda0: float = 1e-4):
+                       Rcb, tcb, n_iters: int = 10, lambda0: float = 1e-4,
+                       prior_gyro: float = 0.0, prior_acc: float = 0.0):
     """Fixed-iteration VI bundle adjustment (reference `FullInertialBA`,
     Optimizer.cc:392-813 / `LocalInertialBA` 2383 — window selection is the
     caller's job; here every non-fixed KF optimizes).
@@ -464,8 +494,10 @@ def visual_inertial_ba(prob: VIBAProblem, edges: InertialEdges, camera,
 
     def body(carry, _):
         prob, lam, cost_prev = carry
-        out, _ = vi_ba_iteration(prob, edges, camera, Rcb, tcb, lam)
-        cost_new = _vi_total_cost(out, edges, camera, Rcb, tcb)
+        out, _ = vi_ba_iteration(prob, edges, camera, Rcb, tcb, lam,
+                                 prior_g=prior_gyro, prior_a=prior_acc)
+        cost_new = _vi_total_cost(out, edges, camera, Rcb, tcb,
+                                  prior_g=prior_gyro, prior_a=prior_acc)
         accept = cost_new < cost_prev
         prob_next = jax.tree_util.tree_map(
             lambda a, b: jnp.where(
@@ -477,7 +509,8 @@ def visual_inertial_ba(prob: VIBAProblem, edges: InertialEdges, camera,
         return (prob_next, lam_next,
                 jnp.where(accept, cost_new, cost_prev)), cost_new
 
-    cost0 = _vi_total_cost(prob, edges, camera, Rcb, tcb)
+    cost0 = _vi_total_cost(prob, edges, camera, Rcb, tcb,
+                           prior_g=prior_gyro, prior_a=prior_acc)
     (prob, _, _), costs = jax.lax.scan(
         body, (prob, jnp.asarray(lambda0, prob.points.dtype), cost0), None,
         length=n_iters)

@@ -153,3 +153,41 @@ def test_edge_packet_entry(session):
     assert 2 in slam.trackers
     assert out is not None
     assert slam.get_tracker(2).state == TrackingState.OK
+
+
+def test_localization_mode(session, tmp_path):
+    """Localization-only mode (System::ActivateLocalizationMode,
+    System.cc:578+): warm-start from a checkpoint, freeze mapping, and
+    track/relocalize against the frozen atlas — the map must not change."""
+    world, R_gt, t_gt, ts, slam = session
+    path = str(tmp_path / "atlas_loc.npz")
+    slam.save_atlas(path)
+
+    slam2 = Slam(CAM, SystemConfig(
+        sensor=Sensor.MONOCULAR,
+        map=MapConfig(max_keyframes=64, max_points=8192,
+                      features_per_frame=600),
+        tracker=TrackerConfig(n_features=600)),
+        vocab=slam.vocab, load_atlas_from=path)
+    slam2.activate_localization_mode()
+    m = slam2.atlas.active
+    kfs0, mps0 = m.n_keyframes, m.n_points
+
+    est_c, gt_c = [], []
+    for i in range(10, 40, 2):
+        feats, _ = synth.render_features(world, R_gt[i], t_gt[i], CAM,
+                                         capacity=600, seed=900 + i)
+        out = slam2.track_features(feats, float(ts[i]))
+        if out is not None:
+            R, t = out
+            est_c.append(-R.T @ t)
+            gt_c.append(-R_gt[i].T @ t_gt[i])
+    # must relocalize and track; the mono map's gauge is arbitrary, so
+    # compare after Sim3 (Umeyama) alignment
+    assert len(est_c) >= 8, "localization-only tracking never locked on"
+    from orbslam3_tpu.evaluation import ate_rmse
+    ate = ate_rmse(np.asarray(est_c), np.asarray(gt_c), with_scale=True)
+    assert ate < 0.05, f"aligned ATE {ate:.3f} m"
+    # the frozen map must not have changed
+    assert m.n_keyframes == kfs0
+    assert m.n_points == mps0
