@@ -183,9 +183,52 @@ class Settings:
 
     # ------------------------------------------------------------ adapters
 
+    def rectification(self):
+        """Precomputed stereo rectification maps for raw pinhole pairs
+        (reference `Settings::precomputeRectificationMaps`,
+        src/Settings.cc:485-528). Built lazily once; None when the config
+        is not an unrectified pinhole stereo pair."""
+        if getattr(self, '_rect', '__unset__') != '__unset__':
+            return self._rect
+        rect = None
+        needs_rect = False
+        if self.T_c1_c2 is not None:
+            # an identity-rotation, distortion-free pair is already
+            # rectified (reference "Rectified" camera type) — skip the remap
+            distorted = (any(abs(k) > 1e-12 for k in self.dist)
+                         or any(abs(k) > 1e-12 for k in (self.dist2 or ())))
+            rotated = (np.abs(self.T_c1_c2[:3, :3] - np.eye(3)).max()
+                       > 1e-9)
+            needs_rect = distorted or rotated
+        if (self.stereo and self.camera_type == 'PinHole'
+                and needs_rect and self.fx2 is not None):
+            from .vision.rectify import RectifyMaps
+            K1 = np.array([[self.fx, 0, self.cx], [0, self.fy, self.cy],
+                           [0, 0, 1.0]])
+            K2 = np.array([[self.fx2, 0, self.cx2], [0, self.fy2, self.cy2],
+                           [0, 0, 1.0]])
+            # T_c1_c2 maps cam2 coords into cam1; stereo_rectify wants the
+            # left->right transform (x_r = R12 x_l + t12), i.e. its inverse
+            T = self.T_c1_c2
+            R12 = T[:3, :3].T
+            t12 = -R12 @ T[:3, 3]
+            rect = RectifyMaps(K1, self.dist, K2, self.dist2 or (0.,) * 5,
+                               (self.width, self.height), R12, t12)
+        self._rect = rect
+        return rect
+
     def camera(self):
-        """Build the device camera model (resized intrinsics if requested)."""
+        """Build the device camera model (resized intrinsics if requested).
+
+        For an unrectified pinhole stereo pair this is the RECTIFIED
+        camera — the shared ideal pinhole both remapped images obey
+        (reference updates calibration1_ from P1, Settings.cc:511-516)."""
         from .core.camera import Camera
+        rect = self.rectification()
+        if rect is not None:
+            K = rect.K_new
+            return Camera.pinhole(K[0, 0], K[1, 1], K[0, 2], K[1, 2],
+                                  width=self.width, height=self.height)
         fx, fy, cx, cy = self.fx, self.fy, self.cx, self.cy
         w, h = self.width, self.height
         if self.new_width > 0 and self.new_height > 0:
@@ -218,8 +261,17 @@ class Settings:
         """Device ImuCalib from the yaml IMU block (reference
         `Settings::readIMU`, src/Settings.cc)."""
         from .imu.preintegration import ImuCalib
+        Tbc = self.imu.T_b_c1
+        rect = self.rectification()
+        if rect is not None:
+            # rectification rotates camera1's frame by R1; fold that into
+            # the body<->camera extrinsic: Tbc' = Tbc * (R1, 0)^-1
+            # (reference Settings.cc:521-526, IMU_STEREO branch)
+            Tr = np.eye(4)
+            Tr[:3, :3] = rect.R1
+            Tbc = Tbc @ np.linalg.inv(Tr)
         return ImuCalib.create(
-            Tbc=self.imu.T_b_c1, noise_gyro=self.imu.noise_gyro,
+            Tbc=Tbc, noise_gyro=self.imu.noise_gyro,
             noise_acc=self.imu.noise_acc, walk_gyro=self.imu.gyro_walk,
             walk_acc=self.imu.acc_walk, freq=self.imu.frequency)
 
@@ -233,15 +285,19 @@ class Settings:
             sensor = (Sensor.IMU_MONOCULAR if self.inertial
                       else Sensor.MONOCULAR)
         mc = map_cfg or MapConfig(features_per_frame=self.n_features)
+        rect = self.rectification()
         bf = self.bf
-        if bf <= 0 and self.stereo and self.T_c1_c2 is not None:
+        if rect is not None:
+            # bf from the rectified geometry (Settings.cc:518-519)
+            bf = float(rect.bf)
+        elif bf <= 0 and self.stereo and self.T_c1_c2 is not None:
             # bf = baseline * fx (reference Settings::readCamera2)
             fx = self.fx
             if self.new_width > 0:
                 fx = fx * self.new_width / self.width
             bf = float(np.linalg.norm(self.T_c1_c2[:3, 3])) * fx
         tracker = TrackerConfig(n_features=self.n_features, bf=bf,
-                                th_depth=self.th_depth)
+                                th_depth=self.th_depth, rectify=rect)
         if (self.stereo and self.camera_type == 'KannalaBrandt8'
                 and self.T_c1_c2 is not None):
             # non-rectified fisheye pair: dispatch the KB8 two-view

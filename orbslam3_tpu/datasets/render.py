@@ -78,8 +78,11 @@ class BoxScene:
         if camera is not None:
             import jax.numpy as jnp
             uv = np.stack([u.reshape(-1), v.reshape(-1)], -1)
-            d_c = np.asarray(camera.unproject(
-                jnp.asarray(uv, jnp.float32))).astype(np.float64)
+            # undistort first so distorted-pinhole (radtan) cameras render
+            # exactly; for KB8 undistort_points is identity and unproject
+            # holds the distortion model
+            uvq = camera.undistort_points(jnp.asarray(uv, jnp.float32))
+            d_c = np.asarray(camera.unproject(uvq)).astype(np.float64)
             d_c = d_c.reshape(height, width, 3)
         else:
             d_c = np.stack([(u - K[0, 2]) / K[0, 0],

@@ -155,7 +155,9 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
                       rot_excitation: float = 0.0,
                       fisheye: bool = False,
                       kb8_dist: tuple = (0.05, 0.01, 0.002, 0.001),
-                      stereo_baseline: float = 0.0) -> str:
+                      stereo_baseline: float = 0.0,
+                      pinhole_dist: tuple = (),
+                      stereo_rot: float = 0.0) -> str:
     """Render and write a sequence; returns `out_dir`.
 
     Body frame == camera frame (T_b_c1 = I). Timestamps start at 100 s to
@@ -187,6 +189,18 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
         from ..core.camera import Camera
         render_cam = Camera.kb8(fx, fy, cx, cy, *kb8_dist,
                                 width=width, height=height)
+    elif pinhole_dist:
+        from ..core.camera import Camera
+        render_cam = Camera.pinhole(fx, fy, cx, cy, dist=tuple(pinhole_dist),
+                                    width=width, height=height)
+    # optional left->right rotation (unrectified pinhole pairs): T_c1_c2 =
+    # [R12 | t12] is the pose of cam2 in cam1 (x_c1 = R12 x_c2 + t12)
+    if stereo_rot != 0.0:
+        from scipy.spatial.transform import Rotation as _SR
+        R12 = _SR.from_rotvec([0.0, stereo_rot, 0.0]).as_matrix()
+    else:
+        R12 = np.eye(3)
+    t12 = np.array([stereo_baseline, 0.0, 0.0])
     lines = ["#timestamp [ns],filename"]
     for i in range(n_frames):
         img = scene.render(K, R_cw[i], t_cw[i], width, height,
@@ -195,11 +209,10 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
         cv2.imwrite(os.path.join(cam_dir, f"{ns}.png"), img)
         lines.append(f"{ns},{ns}.png")
         if stereo_baseline > 0:
-            # right view: same R, center shifted by +b along the camera
-            # x-axis -> t_cw_right = t_cw - [b, 0, 0] (for fisheye this is
-            # the same un-rectified geometry with identity R_12)
-            t_r = t_cw[i] - np.array([stereo_baseline, 0.0, 0.0])
-            img_r = scene.render(K, R_cw[i], t_r, width, height,
+            # right view from T_c1_c2: x_c2 = R12^T (x_c1 - t12)
+            R_r = R12.T @ R_cw[i]
+            t_r = R12.T @ (t_cw[i] - t12)
+            img_r = scene.render(K, R_r, t_r, width, height,
                                  seed=seed * 1000 + i + 500000,
                                  camera=render_cam)
             cv2.imwrite(os.path.join(cam1_dir, f"{ns}.png"), img_r)
@@ -256,8 +269,17 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
             "Camera1.p1: 0.0\nCamera1.p2: 0.0",
             f"Camera1.k1: {k1}\nCamera1.k2: {k2}\n"
             f"Camera1.k3: {k3}\nCamera1.k4: {k4}")
+    elif pinhole_dist:
+        pd = (tuple(pinhole_dist) + (0.0,) * 5)[:5]
+        cfg_text = cfg_text.replace(
+            "Camera1.k1: 0.0\nCamera1.k2: 0.0\n"
+            "Camera1.p1: 0.0\nCamera1.p2: 0.0",
+            f"Camera1.k1: {pd[0]}\nCamera1.k2: {pd[1]}\n"
+            f"Camera1.p1: {pd[2]}\nCamera1.p2: {pd[3]}\n"
+            f"Camera1.k3: {pd[4]}")
     if stereo_baseline > 0:
         b = stereo_baseline
+        unrectified = bool(pinhole_dist) or stereo_rot != 0.0
         cfg_text += (
             f"Camera2.fx: {fx}\nCamera2.fy: {fy}\n"
             f"Camera2.cx: {cx}\nCamera2.cy: {cy}\n")
@@ -266,15 +288,24 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
             cfg_text += (f"Camera2.k1: {k1}\nCamera2.k2: {k2}\n"
                          f"Camera2.k3: {k3}\nCamera2.k4: {k4}\n"
                          "Stereo.ThDepth: 35.0\n")
+        elif unrectified:
+            # raw pinhole pair: per-camera distortion, NO Camera.bf — the
+            # loader must derive geometry via rectification (Settings.cc:485)
+            pd = (tuple(pinhole_dist) + (0.0,) * 5)[:5]
+            cfg_text += (f"Camera2.k1: {pd[0]}\nCamera2.k2: {pd[1]}\n"
+                         f"Camera2.p1: {pd[2]}\nCamera2.p2: {pd[3]}\n"
+                         f"Camera2.k3: {pd[4]}\n"
+                         "Stereo.ThDepth: 35.0\n")
         else:
             cfg_text += f"Camera.bf: {b * fx}\nStereo.ThDepth: 35.0\n"
+        rows = np.concatenate([np.concatenate([R12, t12[:, None]], 1),
+                               [[0.0, 0.0, 0.0, 1.0]]], 0)
+        flat = ",\n          ".join(
+            ", ".join(f"{x:.12f}" for x in r) for r in rows)
         cfg_text += (
             "Stereo.T_c1_c2: !!opencv-matrix\n"
             "   rows: 4\n   cols: 4\n   dt: f\n"
-            f"   data: [1.0, 0.0, 0.0, {b},\n"
-            "          0.0, 1.0, 0.0, 0.0,\n"
-            "          0.0, 0.0, 1.0, 0.0,\n"
-            "          0.0, 0.0, 0.0, 1.0]\n")
+            f"   data: [{flat}]\n")
     with open(os.path.join(out_dir, "config.yaml"), "w") as f:
         f.write(cfg_text)
     return out_dir

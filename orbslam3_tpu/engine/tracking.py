@@ -83,6 +83,10 @@ class TrackerConfig:
     stereo_R_rl: object = None       # (3,3) right<-left rotation
     stereo_t_rl: object = None       # (3,)
     baseline_m: float = 0.0          # metric baseline (close-point gate)
+    # raw (unrectified) pinhole pairs: precomputed rectification maps,
+    # applied on device before extraction (reference Settings::
+    # precomputeRectificationMaps + cv::remap in System::TrackStereo)
+    rectify: object = None           # vision.rectify.RectifyMaps | None
 
 
 @dataclasses.dataclass
@@ -261,6 +265,11 @@ class Tracker:
         for pinhole pairs, two-view midpoint triangulation for non-rectified
         fisheye pairs (KannalaBrandt8::TriangulateMatches path)."""
         from orbslam3_tpu.vision import stereo as stereo_m
+        if self.cfg.rectify is not None:
+            # raw pinhole pair: device-side undistort+rectify remap so the
+            # row-band matcher's epipolar assumption actually holds
+            # (Settings.cc:485-528 + cv::remap in System::TrackStereo)
+            img_left, img_right = self.cfg.rectify(img_left, img_right)
         featsL = extract_features(jnp.asarray(img_left, jnp.float32),
                                   n_features=self.cfg.n_features)
         featsR = extract_features(jnp.asarray(img_right, jnp.float32),

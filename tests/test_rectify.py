@@ -1,0 +1,182 @@
+"""Pinhole stereo rectification (VERDICT r3 missing #1).
+
+Covers the TPU-native equivalent of the reference's
+`Settings::precomputeRectificationMaps` (/root/reference/src/Settings.cc:485-528)
++ per-frame `cv::remap`:
+  * geometric contract: after rectification, matching epipolar lines land on
+    identical rows and disparity = f*b/z;
+  * remap correctness against direct rendering with the rectified camera;
+  * Settings wiring: EuRoC-style raw stereo YAML -> rectified camera + bf;
+  * golden: rendered UNRECTIFIED (distorted, rotated) stereo pair tracks
+    end to end with small ATE.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from orbslam3_tpu.vision.rectify import (RectifyMaps, remap_bilinear,
+                                         stereo_rectify,
+                                         undistort_rectify_map)
+
+RNG = np.random.default_rng(9)
+
+# an EuRoC-like raw stereo rig: different intrinsics, radtan distortion,
+# ~0.5 deg relative rotation, 11 cm baseline
+K1 = np.array([[458.654, 0, 367.215], [0, 457.296, 248.375], [0, 0, 1.0]])
+K2 = np.array([[457.587, 0, 379.999], [0, 456.134, 255.238], [0, 0, 1.0]])
+D1 = (-0.28340811, 0.07395907, 0.00019359, 1.76187114e-05, 0.0)
+D2 = (-0.28368365, 0.07451284, -0.00010473, -3.55590700e-05, 0.0)
+SIZE = (752, 480)
+
+
+def _rig():
+    from scipy.spatial.transform import Rotation
+    R12 = Rotation.from_rotvec([0.003, -0.008, 0.002]).as_matrix()
+    t12 = np.array([-0.1100738, 0.000399, -0.000853])  # x_r = R12 x_l + t12
+    return R12, t12
+
+
+def test_rectified_rows_align():
+    """World points project to the SAME row in both rectified views, with
+    disparity = f*b/z — the contract the row-band stereo matcher needs."""
+    R12, t12 = _rig()
+    R1, R2, K_new, baseline = stereo_rectify(K1, D1, K2, D2, SIZE, R12, t12)
+    # sample points in front of the left camera
+    pts_l = np.stack([RNG.uniform(-2, 2, 64), RNG.uniform(-1.5, 1.5, 64),
+                      RNG.uniform(3, 12, 64)], -1)
+    # rectified-camera coords
+    xl = pts_l @ R1.T
+    xr = (pts_l @ R12.T + t12) @ R2.T
+    ul = (K_new @ (xl / xl[:, 2:3]).T).T
+    ur = (K_new @ (xr / xr[:, 2:3]).T).T
+    # rows align to sub-0.02 px; disparity matches f*b/z
+    assert np.abs(ul[:, 1] - ur[:, 1]).max() < 2e-2
+    disp = ul[:, 0] - ur[:, 0]
+    z = xl[:, 2]
+    pred = K_new[0, 0] * baseline / z
+    assert np.abs(disp - pred).max() < 5e-2
+    assert 0.10 < baseline < 0.12
+
+
+def test_map_inverts_distortion():
+    """The rectify map at the rectified projection of a point lands on that
+    point's DISTORTED raw projection (initUndistortRectifyMap semantics)."""
+    from orbslam3_tpu.core.camera import Camera
+    R12, t12 = _rig()
+    R1, _, K_new, _ = stereo_rectify(K1, D1, K2, D2, SIZE, R12, t12)
+    m = undistort_rectify_map(K1, D1, R1, K_new, SIZE)
+    cam_raw = Camera.pinhole(K1[0, 0], K1[1, 1], K1[0, 2], K1[1, 2],
+                             dist=D1, width=SIZE[0], height=SIZE[1])
+    pts = np.stack([RNG.uniform(-1, 1, 32), RNG.uniform(-0.8, 0.8, 32),
+                    RNG.uniform(4, 10, 32)], -1)
+    xl = pts @ R1.T
+    uvr = (K_new @ (xl / xl[:, 2:3]).T).T[:, :2]
+    # raw distorted projection
+    ideal = np.asarray(cam_raw.project(jnp.asarray(pts, jnp.float32)))
+    raw = np.asarray(cam_raw.distort_points(jnp.asarray(ideal)))
+    inb = ((uvr[:, 0] > 1) & (uvr[:, 0] < SIZE[0] - 2)
+           & (uvr[:, 1] > 1) & (uvr[:, 1] < SIZE[1] - 2))
+    assert inb.sum() > 10
+    # bilinear sample of the map at the rectified pixel
+    ui = uvr[inb].astype(int)
+    src = m[ui[:, 1], ui[:, 0]]
+    err = np.linalg.norm(src - raw[inb], axis=1)
+    assert np.median(err) < 1.5  # sub-map-cell accuracy at integer sample
+
+
+def test_remap_matches_direct_render():
+    """Remapped distorted render ~= direct render with the rectified
+    camera (same pose rotated by R1)."""
+    from orbslam3_tpu.core.camera import Camera
+    from orbslam3_tpu.datasets.render import BoxScene
+    R12, t12 = _rig()
+    size = (320, 240)
+    K1s = K1.copy()
+    K1s[:2] *= np.array([[320 / 752.0], [240 / 480.0]])
+    R1, _, K_new, _ = stereo_rectify(K1s, D1, K2, D2, size, R12, t12)
+    m = jnp.asarray(undistort_rectify_map(K1s, D1, R1, K_new, size))
+    scene = BoxScene.default(seed=4)
+    center = (scene.lo + scene.hi) / 2.0
+    R_cw = np.eye(3)
+    t_cw = -R_cw @ (center + np.array([0, 0, -4.0]))
+    cam_raw = Camera.pinhole(K1s[0, 0], K1s[1, 1], K1s[0, 2], K1s[1, 2],
+                             dist=D1, width=size[0], height=size[1])
+    img_raw = scene.render(K1s, R_cw, t_cw, size[0], size[1], noise_std=0.0,
+                           camera=cam_raw)
+    rect = np.asarray(remap_bilinear(jnp.asarray(img_raw, jnp.float32), m))
+    img_direct = scene.render(K_new, R1 @ R_cw, R1 @ t_cw, size[0], size[1],
+                              noise_std=0.0)
+    # compare where the remap actually sampled (non-zero border excluded)
+    mask = rect > 0
+    assert mask.mean() > 0.5
+    diff = np.abs(rect[mask] - img_direct.astype(np.float32)[mask])
+    assert np.mean(diff) < 6.0, f"mean abs diff {np.mean(diff):.2f}"
+
+
+def test_settings_builds_rectification(tmp_path):
+    """A raw (distorted) stereo YAML yields a rectified camera, bf from the
+    rectified focal, and rectify maps on the tracker config."""
+    from orbslam3_tpu.config import Settings
+    from orbslam3_tpu.datasets.synth_euroc import write_synth_euroc
+    d = str(tmp_path)
+    write_synth_euroc(d, n_frames=1, width=320, height=240, fx=240.0,
+                      fy=240.0, seed=5, stereo_baseline=0.11,
+                      pinhole_dist=(-0.05, 0.01, 0.0, 0.0),
+                      stereo_rot=0.01)
+    st = Settings.from_yaml(os.path.join(d, "config.yaml"), sensor="stereo")
+    rect = st.rectification()
+    assert rect is not None
+    cfg = st.system_config()
+    assert cfg.tracker.rectify is rect
+    # bf = baseline * rectified focal
+    assert abs(cfg.tracker.bf - 0.11 * rect.K_new[0, 0]) < 1e-3
+    cam = st.camera()
+    assert float(cam.params[0]) == pytest.approx(rect.K_new[0, 0], rel=1e-6)
+    # rectified camera must carry no distortion
+    assert float(jnp.abs(cam.params[4:]).max()) == 0.0
+    # identity/distortion-free pair must NOT build maps
+    d2 = str(tmp_path / "flat")
+    write_synth_euroc(d2, n_frames=1, width=320, height=240, fx=240.0,
+                      fy=240.0, seed=5, stereo_baseline=0.11)
+    st2 = Settings.from_yaml(os.path.join(d2, "config.yaml"),
+                             sensor="stereo")
+    assert st2.rectification() is None
+
+
+@pytest.mark.slow
+def test_unrectified_stereo_golden(tmp_path_factory):
+    """Rendered raw stereo (radtan distortion + rotated right camera) runs
+    end to end through rectification with stereo-grade metric ATE (stereo
+    fixes scale — no alignment). Reference path: Settings rectification +
+    Frame::ComputeStereoMatches."""
+    from orbslam3_tpu.config import Settings
+    from orbslam3_tpu.datasets import load_euroc
+    from orbslam3_tpu.engine.system import Slam
+    from orbslam3_tpu.evaluation import ate_rmse
+    from orbslam3_tpu.slam_map.map_state import MapConfig
+
+    d = str(tmp_path_factory.mktemp("rawstereo"))
+    write = __import__("orbslam3_tpu.datasets.synth_euroc",
+                       fromlist=["write_synth_euroc"]).write_synth_euroc
+    write(d, n_frames=120, width=320, height=240, fx=240.0, fy=240.0,
+          seed=13, n_features=500, arc=0.9, fps=20.0,
+          stereo_baseline=0.11, pinhole_dist=(-0.06, 0.012, 0.0, 0.0),
+          stereo_rot=0.012)
+    seq = load_euroc(d, stereo=True)
+    st = Settings.from_yaml(os.path.join(d, "config.yaml"), sensor="stereo")
+    assert st.rectification() is not None
+    cfg = st.system_config(map_cfg=MapConfig(128, 8192, st.n_features))
+    slam = Slam(st.camera(), cfg)
+    for i in range(len(seq)):
+        slam.track_stereo(seq.read_image(i), seq.read_image(i, right=True),
+                          float(seq.image_ts[i]))
+    poses = slam._full_poses(0)
+    assert len(poses) >= 0.8 * len(seq)
+    ts = np.array([p[0] for p in poses])
+    est = np.array([p[2] for p in poses])
+    gt = seq.gt_positions_at(ts)
+    ate = ate_rmse(est, gt, with_scale=False)
+    assert ate < 0.08, f"metric ATE {ate * 1e3:.1f} mm"
