@@ -20,6 +20,15 @@ import numpy as np
 from orbslam3_tpu.slam_map.map_state import MapConfig, MapState
 
 
+def _next_pow2(needed: int, at_least: int) -> int:
+    """Smallest power-of-two-scaled tier >= needed (tiers keep jitted
+    capacity-shaped consumers to a handful of recompiles)."""
+    n = at_least
+    while n < needed:
+        n *= 2
+    return n
+
+
 class Atlas:
     def __init__(self, cfg: MapConfig):
         self.cfg = cfg
@@ -75,6 +84,12 @@ class Atlas:
         Rm = np.asarray(R, np.float32)
         tm = np.asarray(t, np.float32)
         s = float(s)
+        # tier the destination up-front so welding never silently drops
+        # (drops now only happen at the hard ceiling, with loud events)
+        dst.grow(max_keyframes=_next_pow2(dst.n_keyframes + src.n_keyframes,
+                                          dst.cfg.max_keyframes),
+                 max_points=_next_pow2(dst.n_points + src.n_points,
+                                       dst.cfg.max_points))
 
         # landmarks: x_dst = s*R x_src + t
         mp_map = {}
@@ -105,9 +120,16 @@ class Atlas:
                 Rp, tp, src.kf_ts[k], src.kf_frame_id[k], src.kf_uv[k],
                 src.kf_octave[k], src.kf_angle[k], src.kf_desc[k],
                 src.kf_feat_valid[k], remapped, prev_kf=prev,
-                vel=s * (Rm @ src.kf_vel[k]), bias=src.kf_bias[k])
+                vel=s * (Rm @ src.kf_vel[k]), bias=src.kf_bias[k],
+                # carry the IMU preintegration chain through the merge
+                # (reference keeps mpImuPreintegrated on merged KFs so
+                # MergeInertialBA has inertial factors, LoopClosing.cc:1787+;
+                # the body-frame preintegrated deltas are invariant under the
+                # world-frame weld — only valid metric-to-metric, which is
+                # how inertial merges run: mbFixScale, s ~= 1)
+                preint=src.kf_pre.get(int(k)))
             if nk < 0:
-                continue  # destination at capacity: drop this keyframe
+                continue  # at the hard ceiling (loud drop event already fired)
             kf_map[int(k)] = nk
         del self.maps[src_id]
         self.active_id = dst_id

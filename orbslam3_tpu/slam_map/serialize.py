@@ -60,6 +60,9 @@ def save_atlas(atlas: Atlas, path: str, vocab=None, extra: dict = None):
         'next_map_id': atlas._next_map_id,
         'map_ids': sorted(atlas.maps),
         'map_scalars': {},
+        # per-map capacity tier (maps grow independently; loading must
+        # rebuild each at its own tier, not the atlas default)
+        'map_config': {str(mid): vars(m.cfg) for mid, m in atlas.maps.items()},
         'extra': extra or {},
     }
     for mid, m in atlas.maps.items():
@@ -91,7 +94,10 @@ def load_atlas(path: str, vocab=None, check_vocab: bool = True) -> Atlas:
         atlas = Atlas(cfg)
         atlas.maps.clear()  # drop the auto-created map; restore from blobs
         for mid in meta['map_ids']:
-            m = MapState(cfg, map_id=int(mid))
+            mc = meta.get('map_config', {}).get(str(mid))
+            mcfg = (MapConfig(**{k: int(v) for k, v in mc.items()})
+                    if mc else cfg)
+            m = MapState(mcfg, map_id=int(mid))
             for name in _map_arrays(m):
                 key = f'map{mid}/{name}'
                 if key in z:
