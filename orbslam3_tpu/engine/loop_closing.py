@@ -536,12 +536,16 @@ class LoopCloser:
         if self.cfg.inertial and merged.imu_initialized \
                 and self.imu_calib is not None:
             # MergeLocal2 path (LoopClosing.cc:1787): inertial maps weld at
-            # locked scale and run the windowed visual-inertial BA
-            # (MergeInertialBA, Optimizer.cc:3948) instead of a full GBA
+            # locked scale and run the TRUE seam BA (MergeInertialBA,
+            # Optimizer.cc:3948) — two temporal windows, one ending at the
+            # current KF and one at the matched KF of the welded-in map,
+            # each with its own inertial chain (the weld carries kf_pre),
+            # coupled through the fused seam landmarks
             from orbslam3_tpu.imu import init as imu_init
-            imu_init.full_inertial_ba(merged, self.imu_calib, self.camera,
-                                      n_iters=self.cfg.gba_iters,
-                                      window=10)
+            imu_init.merge_inertial_ba(merged, self.imu_calib, self.camera,
+                                       new_cur, cand,
+                                       n_iters=self.cfg.gba_iters,
+                                       window=10)
         else:
             # welding-window BA (LocalBundleAdjustment(pMainKF, ...),
             # Optimizer.cc:3498): optimize the seam neighborhoods with the

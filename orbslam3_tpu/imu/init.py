@@ -168,10 +168,75 @@ def full_inertial_ba(m: MapState, calib: ImuCalib, camera,
         cut = len(kfs) - (window + 1)  # keep one extra as the fixed border
         kfs, pres = kfs[cut:], pres[cut:]
         fix_first = True
+    return _viba_over_chains(m, calib, camera, [(kfs, pres)],
+                             n_iters=n_iters, points_cap=points_cap,
+                             obs_cap=obs_cap, fix_first=fix_first,
+                             windowed=windowed, prior_gyro=prior_gyro,
+                             prior_acc=prior_acc)
+
+
+def _window_back(m: MapState, k: int, window: int):
+    """Temporal window ending at `k`: walk kf_prev while the link's
+    preintegration exists, up to `window` optimizable KFs + 1 border."""
+    kfs = [int(k)]
+    pres = []
+    while len(kfs) < window + 1:
+        cur = kfs[0]
+        p = int(m.kf_prev[cur])
+        pre = m.kf_pre.get(cur)
+        if p < 0 or not m.kf_valid[p] or pre is None:
+            break
+        kfs.insert(0, p)
+        pres.insert(0, pre)
+    return kfs, pres
+
+
+def merge_inertial_ba(m: MapState, calib: ImuCalib, camera,
+                      cur_kf: int, merge_kf: int, window: int = 10,
+                      n_iters: int = 8, points_cap: int = 4096,
+                      obs_cap: int = 16384):
+    """Welding-window visual-inertial BA over the merge seam (reference
+    `Optimizer::MergeInertialBA`, Optimizer.cc:3948, called from
+    `LoopClosing::MergeLocal2`, LoopClosing.cc:1787+): TWO temporal
+    windows — one ending at the current keyframe, one at the matched
+    keyframe of the welded-in map — each with its own inertial chain,
+    coupled VISUALLY through the fused seam landmarks. The back of each
+    window is the fixed border."""
+    chains = []
+    for root in (cur_kf, merge_kf):
+        kfs, pres = _window_back(m, root, window)
+        if len(kfs) >= 2:
+            chains.append((kfs, pres))
+    if not chains:
+        return None
+    # de-dup: if the windows overlap (already same chain), fall back to one
+    seen = set(chains[0][0])
+    if len(chains) == 2 and any(k in seen for k in chains[1][0]):
+        chains = chains[:1]
+    return _viba_over_chains(m, calib, camera, chains, n_iters=n_iters,
+                             points_cap=points_cap, obs_cap=obs_cap,
+                             fix_first=True, windowed=True)
+
+
+def _viba_over_chains(m: MapState, calib: ImuCalib, camera,
+                      chains: list, n_iters: int = 8,
+                      points_cap: int = 4096, obs_cap: int = 16384,
+                      fix_first: bool = True, windowed: bool = False,
+                      prior_gyro: float = 0.0, prior_acc: float = 0.0):
+    """Core VI-BA over one or more temporal chains sharing a landmark set."""
+    kfs = []
+    pairs = []
+    pres = []
+    chain_starts = []
+    for c_kfs, c_pres in chains:
+        off = len(kfs)
+        chain_starts.append(off)
+        pairs += [(off + i, off + i + 1) for i in range(len(c_kfs) - 1)]
+        kfs += list(c_kfs)
+        pres += list(c_pres)
     if len(kfs) < 3:
         return None
     n_chain = len(kfs)
-    pairs = [(i, i + 1) for i in range(n_chain - 1)]
 
     obs = m.kf_obs_mp[kfs]
     mp_ids = np.unique(obs[obs >= 0])
@@ -231,7 +296,8 @@ def full_inertial_ba(m: MapState, calib: ImuCalib, camera,
     pts[:P] = m.mp_pos[mp_ids]
     fixed_kf = np.zeros(M, bool)
     if fix_first:
-        fixed_kf[0] = True
+        for off in chain_starts:   # each chain's oldest KF is its border
+            fixed_kf[off] = True
     fixed_kf[n_chain:] = True  # observer border stays put
 
     prob = iopt.VIBAProblem(
