@@ -83,6 +83,7 @@ class Settings:
     cy2: float | None = None
     dist2: tuple | None = None
     # rgbd
+    rgbd: bool = False
     depth_map_factor: float = 1.0
     # imu
     inertial: bool = False
@@ -107,6 +108,7 @@ class Settings:
         s = Settings()
         s.inertial = 'imu' in sensor.lower() or 'inertial' in sensor.lower()
         s.stereo = 'stereo' in sensor.lower()
+        s.rgbd = 'rgbd' in sensor.lower() or 'rgb-d' in sensor.lower()
         new_format = str(d.get('File.version', '')) == '1.0'
         cam = 'Camera1' if new_format else 'Camera'
 
@@ -281,6 +283,8 @@ class Settings:
         from .slam_map.map_state import MapConfig
         if self.stereo:
             sensor = Sensor.IMU_STEREO if self.inertial else Sensor.STEREO
+        elif self.rgbd:
+            sensor = Sensor.IMU_RGBD if self.inertial else Sensor.RGBD
         else:
             sensor = (Sensor.IMU_MONOCULAR if self.inertial
                       else Sensor.MONOCULAR)
@@ -312,8 +316,8 @@ class Settings:
             tracker.stereo_t_rl = (-R12.T @ t12).astype(np.float32)
             tracker.baseline_m = float(np.linalg.norm(t12))
             tracker.bf = 0.0  # no rectified virtual-uR residuals
-        if self.stereo or self.inertial:
-            # reference thRefRatio: 0.75 for stereo/inertial, 0.9 mono
+        if self.stereo or self.inertial or self.rgbd:
+            # reference thRefRatio: 0.75 for stereo/RGB-D/inertial, 0.9 mono
             # (Tracking::NeedNewKeyFrame, Tracking.cc:3208 region)
             tracker.kf_ref_ratio = 0.75
         return SystemConfig(

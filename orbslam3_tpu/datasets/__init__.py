@@ -9,8 +9,10 @@ the jitted tracking pipeline.
 
 from .euroc import AslSequence, load_euroc, load_tumvi, imu_batches
 from .kitti import KittiSequence, load_kitti
+from .tum_rgbd import TumRgbdSequence, load_tum_rgbd
 
 __all__ = [
     "AslSequence", "load_euroc", "load_tumvi", "imu_batches",
     "KittiSequence", "load_kitti",
+    "TumRgbdSequence", "load_tum_rgbd",
 ]

@@ -63,12 +63,17 @@ class BoxScene:
 
     def render(self, K: np.ndarray, R_cw: np.ndarray, t_cw: np.ndarray,
                width: int, height: int, noise_std: float = 1.5,
-               seed: int = 0, camera=None) -> np.ndarray:
+               seed: int = 0, camera=None, return_depth: bool = False):
         """Grayscale uint8 (height, width) view from camera (R_cw, t_cw).
 
         With `camera` (a core.camera.Camera, e.g. KB8 fisheye), rays come
         from the camera model's unprojection instead of the pinhole K —
-        renders geometrically exact distorted imagery."""
+        renders geometrically exact distorted imagery.
+
+        With `return_depth` also returns the (height, width) float32
+        camera-z depth map (meters, 0 where no surface) — for pinhole rays
+        (z-normalized d_c) the ray parameter IS the camera depth, giving
+        exact registered RGB-D imagery for the TUM-RGBD pipeline."""
         import cv2
         rng = np.random.default_rng(seed)
         # pixel rays in world frame; pixel centers at integer coordinates
@@ -123,4 +128,9 @@ class BoxScene:
             best_t = np.where(ok, t, best_t)
         if noise_std > 0:
             out = out + rng.normal(0, noise_std, out.shape)
-        return np.clip(out, 0, 255).astype(np.uint8)
+        img = np.clip(out, 0, 255).astype(np.uint8)
+        if return_depth:
+            z = d_c[..., 2]
+            depth = np.where(np.isfinite(best_t), best_t * z, 0.0)
+            return img, depth.astype(np.float32)
+        return img
