@@ -157,10 +157,26 @@ class Slam:
                               local_mapper=self._backend,
                               relocalizer=self._relocalize,
                               imu_calib=self._imu_calib(client_id))
+            self._bind_bow(tracker)
             self.trackers[client_id] = tracker
             self._imu_queues.setdefault(client_id, [])
             self._log('add_client', client=client_id)
             return tracker
+
+    def _bind_bow(self, tracker: Tracker):
+        """Give a tracking lane the vocabulary word function so the
+        TrackReferenceKeyFrame BoW fallback (Tracking.cc:2864-2996) works;
+        without a vocabulary the tracker skips that rung."""
+        if self.db is not None:
+            tracker.bow_fn = self._bow_words
+            tracker.bow_k = self.db.vocab.k
+
+    def _bow_words(self, desc_packed):
+        import jax.numpy as jnp
+        import numpy as np
+        from ..place.vocab import descend
+        return np.asarray(descend(jnp.asarray(desc_packed), self.db._levels,
+                                  self.db._valids, self.db.vocab.k))
 
     def get_tracker(self, client_id: int = 0) -> Tracker:
         return self.trackers[client_id]
@@ -313,6 +329,7 @@ class Slam:
                             client_id=cid, local_mapper=self._backend,
                             relocalizer=self._relocalize,
                             imu_calib=self._imu_calib(cid))
+            self._bind_bow(fresh)
             fresh.trajectory = old_traj  # keep cross-map trajectory log
             fresh._traj_maps = getattr(tracker, '_traj_maps', []) + \
                 [(len(old_traj), tracker.map)]

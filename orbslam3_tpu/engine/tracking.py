@@ -139,6 +139,11 @@ class Tracker:
         # callable(feats) -> (R_cw, t_cw, mp_ids, ref_kf) | None — BoW reloc
         # against the shared map (Tracking::Relocalization, 3753-3921)
         self.relocalizer = relocalizer
+        # BoW word function for the TrackReferenceKeyFrame fallback
+        # (set by Slam when a vocabulary is loaded): desc (N,8) -> words (N,)
+        self.bow_fn = None
+        self.bow_k = 8                      # vocabulary branching factor
+        self._ref_words_cache = None        # (kf_uid, words) memo
         self.state = TrackingState.NO_IMAGES_YET
         # localization-only mode (reference Tracking::mbOnlyTracking via
         # System::ActivateLocalizationMode, System.cc:578+): track and
@@ -462,6 +467,10 @@ class Tracker:
             self._init_feats.uv, p_ref, self._init_feats.valid,
             feats.uv, p_cur, feats.valid,
             radius=cfg.init_window_px,
+            # dominant-orientation voting (reference CheckOrientation in
+            # SearchForInitialization, ORBmatcher.cc)
+            ang1=self._init_feats.angle, ang2=feats.angle,
+            check_rotation=True,
         )
         if int(n) < cfg.init_min_matches:
             # reference: replace the reference frame and retry
@@ -721,6 +730,16 @@ class Tracker:
                                       cfg.proj_radius_wide * 2,
                                       cfg.min_track_matches)
         if out is None:
+            # TrackReferenceKeyFrame fallback (Tracking.cc:2864-2996): the
+            # motion-model prediction is bad enough that no projection
+            # window finds the map — match the reference KF by BoW buckets
+            # (pose-free) and pose-optimize from the last frame's pose,
+            # then re-enter the normal local-map search from there
+            rec = self._track_reference_keyframe_bow(feats, f_planes)
+            if rec is not None:
+                out = search_and_optimize(rec[0], rec[1], cfg.proj_radius,
+                                          cfg.min_track_matches)
+        if out is None:
             return False
         R1, t1, _, _, _, _ = out
 
@@ -893,6 +912,70 @@ class Tracker:
         return (R_cw, t_cw, np.asarray(inl)[:len(sel)], int(n_in),
                 new_prior, np.asarray(out.v, np.float32),
                 np.asarray(out.bias, np.float32))
+
+    def _track_reference_keyframe_bow(self, feats: FrameFeatures, f_planes):
+        """TrackReferenceKeyFrame (`/root/reference/src/Tracking.cc:2864-2996`):
+        when the motion-model projection search fails, match the current
+        frame to the REFERENCE keyframe by vocabulary buckets (pose-free —
+        recovers from arbitrarily bad pose predictions as long as the view
+        overlaps), then pose-optimize from the last frame's pose.
+
+        Returns (R_cw, t_cw) on success, else None. Gates mirror the
+        reference: >= 15 BoW matches, >= 10 pose-opt inliers."""
+        if self.bow_fn is None or self.ref_kf < 0:
+            return None
+        m = self.map
+        with m.lock:
+            k = self.ref_kf
+            if not m.kf_valid[k]:
+                return None
+            kf_desc = m.kf_desc[k].copy()
+            kf_angle = m.kf_angle[k].copy()
+            kf_obs = m.kf_obs_mp[k].copy()
+            has_mp = (kf_obs >= 0) & m.kf_feat_valid[k]
+            has_mp &= np.where(kf_obs >= 0, m.mp_valid[np.maximum(kf_obs, 0)],
+                               False)
+            mp_pos_kf = m.mp_pos[np.maximum(kf_obs, 0)].copy()
+        uid = int(m.kf_uid[k])
+        if self._ref_words_cache is not None \
+                and self._ref_words_cache[0] == uid:
+            words_kf = self._ref_words_cache[1]
+        else:
+            words_kf = np.asarray(self.bow_fn(kf_desc))
+            self._ref_words_cache = (uid, words_kf)
+        words_f = np.asarray(self.bow_fn(np.asarray(feats.desc)))
+        kf_planes = desc_k.descriptor_planes(jnp.asarray(kf_desc))
+        idx, dist, ok, nm = matcher.search_by_bow(
+            jnp.asarray(words_kf), kf_planes, jnp.asarray(has_mp),
+            jnp.asarray(kf_angle),
+            jnp.asarray(words_f), f_planes, feats.valid, feats.angle,
+            k=self.bow_k)
+        if int(nm) < 15:
+            return None
+        sel = np.nonzero(np.asarray(ok))[0]
+        idx_np = np.asarray(idx)
+        cap = feats.capacity
+        n_sel = min(len(sel), cap)
+        pts = np.zeros((cap, 3), np.float32)
+        uv_obs = np.zeros((cap, 2), np.float32)
+        info = np.ones(cap, np.float32)
+        valid_sel = np.zeros(cap, bool)
+        pts[:n_sel] = mp_pos_kf[sel[:n_sel]]
+        uv_np = np.asarray(feats.uv)
+        oct_np = np.asarray(feats.octave)
+        uv_obs[:n_sel] = uv_np[idx_np[sel[:n_sel]]]
+        info[:n_sel] = 1.0 / (1.2 ** (2 * oct_np[idx_np[sel[:n_sel]]]))
+        valid_sel[:n_sel] = True
+        R, t, inliers, n_in = optimize_pose(
+            jnp.asarray(self.R_cw), jnp.asarray(self.t_cw),
+            jnp.asarray(pts), jnp.asarray(uv_obs), jnp.asarray(info),
+            jnp.asarray(valid_sel), self.camera)
+        if int(n_in) < 10:
+            return None
+        if self.debug:
+            print(f"    bow-refkf recovery: {int(nm)} matches, "
+                  f"{int(n_in)} inliers")
+        return np.asarray(R), np.asarray(t)
 
     def _try_relocalize(self, feats: FrameFeatures, ts: float) -> bool:
         out = self.relocalizer(feats)

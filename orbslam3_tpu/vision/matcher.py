@@ -119,13 +119,40 @@ def search_by_projection(
     return idx, best, keep, jnp.sum(keep), vis
 
 
-@partial(jax.jit, static_argnames=("max_dist", "ratio"))
+HISTO_LENGTH = 30  # reference ORBmatcher.cc:41 rotation histogram bins
+
+
+@partial(jax.jit, static_argnames=("n_bins", "top"))
+def rotation_consistency(ang1: jax.Array, ang2: jax.Array,
+                         idx: jax.Array, ok: jax.Array,
+                         n_bins: int = HISTO_LENGTH, top: int = 3):
+    """Dominant-orientation voting (reference `CheckOrientation` blocks +
+    `ComputeThreeMaxima`, ORBmatcher.cc:83-85 and per-Search* epilogues):
+    histogram the per-match keypoint-angle difference, keep only matches in
+    the top-3 bins (a bin also needs >= 10% of the max bin's votes). Cheap
+    global-motion outlier filter the reference relies on in low texture.
+
+    ang* are RADIANS; idx maps set-1 entries to set-2 features."""
+    two_pi = 2.0 * jnp.pi
+    rot = jnp.mod(ang1 - ang2[idx], two_pi)
+    b = jnp.round(rot * (n_bins / two_pi)).astype(jnp.int32) % n_bins
+    hist = jnp.zeros(n_bins, jnp.int32).at[b].add(ok.astype(jnp.int32))
+    top_vals, top_idx = jax.lax.top_k(hist, top)
+    good = top_vals.astype(jnp.float32) >= 0.1 * top_vals[0].astype(
+        jnp.float32)
+    keep_bin = jnp.zeros(n_bins, bool).at[top_idx].set(good)
+    return ok & keep_bin[b]
+
+
+@partial(jax.jit, static_argnames=("max_dist", "ratio", "check_rotation"))
 def search_for_initialization(
     uv1, planes1, valid1, uv2, planes2, valid2,
     radius: float = 100.0, max_dist: int = ham.TH_LOW, ratio: float = 0.9,
+    ang1=None, ang2=None, check_rotation: bool = False,
 ):
     """Frame-1 -> frame-2 matching in a wide window with mutual check
-    (reference `SearchForInitialization`, ORBmatcher.cc)."""
+    (reference `SearchForInitialization`, ORBmatcher.cc), plus the
+    rotation-consistency histogram when angles are given."""
     d2 = jnp.sum(jnp.square(uv1[:, None, :] - uv2[None, :, :]), axis=-1)
     window = d2 <= radius * radius
     mask = window & valid1[:, None] & valid2[None, :]
@@ -134,6 +161,39 @@ def search_for_initialization(
     idx_ba, _, _ = ham.masked_match_ratio(
         planes2, planes1, mask.T, max_dist=max_dist, ratio=ratio)
     ok = ham.mutual_filter(idx, ok, idx_ba)
+    if check_rotation:
+        ok = rotation_consistency(ang1, ang2, idx, ok)
+    return idx, best, ok, jnp.sum(ok)
+
+
+@partial(jax.jit, static_argnames=("k", "max_dist", "ratio"))
+def search_by_bow(
+    words1: jax.Array,   # (N1,) leaf word id per feature (vocab.descend)
+    planes1: jax.Array, valid1: jax.Array, ang1: jax.Array,
+    words2: jax.Array,
+    planes2: jax.Array, valid2: jax.Array, ang2: jax.Array,
+    k: int,              # vocabulary branching factor
+    max_dist: int = ham.TH_LOW, ratio: float = 0.7,
+):
+    """Vocabulary-bucketed matching (reference `SearchByBoW`,
+    ORBmatcher.cc:~150: features are only compared within the same
+    FeatureVector node). The DBoW2 node-at-level-up bucket becomes a
+    parent-node equality mask over the leaf words — one masked distance
+    matrix instead of per-node list walks — followed by the reference's
+    0.7 ratio test, mutual check, and rotation histogram.
+
+    Returns (idx (N1,), dist (N1,), ok (N1,), n)."""
+    parent1 = words1 // k
+    parent2 = words2 // k
+    same_node = parent1[:, None] == parent2[None, :]
+    mask = same_node & valid1[:, None] & valid2[None, :] \
+        & (words1 >= 0)[:, None] & (words2 >= 0)[None, :]
+    idx, best, ok = ham.masked_match_ratio(
+        planes1, planes2, mask, max_dist=max_dist, ratio=ratio)
+    idx_ba, _, _ = ham.masked_match_ratio(
+        planes2, planes1, mask.T, max_dist=max_dist, ratio=ratio)
+    ok = ham.mutual_filter(idx, ok, idx_ba)
+    ok = rotation_consistency(ang1, ang2, idx, ok)
     return idx, best, ok, jnp.sum(ok)
 
 
