@@ -455,8 +455,8 @@ class LocalMapper:
         win = set(window)
         obs = m.kf_obs_mp[list(window)]
         mp_ids = np.unique(obs[obs >= 0])
-        inc = m.incidence()
-        observers = np.nonzero(inc[:, mp_ids].any(axis=1))[0]
+        kk, _, _ = m.observations_of(mp_ids)   # COO, no dense incidence
+        observers = np.unique(kk)
         fixed = [int(x) for x in observers if int(x) not in win]
         # order by covisibility weight (most connected first)
         return fixed[: self.cfg.fixed_kfs]

@@ -364,18 +364,16 @@ class LoopCloser:
 
         # edge list as array ops (the reference assembles g2o edges in
         # per-KF loops, Optimizer.cc:1561-1700; a Python-loop translation is
-        # O(edges) interpreter work — here the spanning-tree + covisibility
-        # pairs are deduplicated and their Sim3 measurements batched)
-        inc = m.incidence()
-        covis_w = (inc @ inc.T).astype(np.int64)
-        valid_col = m.kf_valid[None, :]
-        kf_mask = np.zeros(covis_w.shape[0], bool)
-        kf_mask[kfs] = True
-        strong = (covis_w >= cfg.covis_weight_essential) & kf_mask[None, :] \
-            & kf_mask[:, None] & valid_col
-        a_c, b_c = np.nonzero(strong)
-        keep = a_c < b_c  # dedup (a,b)/(b,a)
-        a_c, b_c = a_c[keep], b_c[keep]
+        # O(edges) interpreter work — here the covisibility weights come
+        # from the device int8 MXU matmul over LIVE keyframes (r3 weak #6:
+        # the old dense host product was capacity², a quadratic wall at
+        # grown tiers) and the spanning-tree + covisibility pairs are
+        # deduplicated and their Sim3 measurements batched)
+        W_live = m.covis_weights(kfs)          # (M, M) in live-row space
+        ai, bi = np.nonzero(W_live >= cfg.covis_weight_essential)
+        keep = ai < bi  # dedup (a,b)/(b,a)
+        a_c = np.asarray(kfs)[ai[keep]]
+        b_c = np.asarray(kfs)[bi[keep]]
         # spanning-tree (temporal chain) pairs
         prev = m.kf_prev[kfs]
         has_p = (prev >= 0) & m.kf_valid[np.maximum(prev, 0)]
@@ -572,8 +570,8 @@ class LoopCloser:
         mp_ids = mp_ids[m.mp_valid[mp_ids]]
         if len(mp_ids) == 0:
             return
-        inc = m.incidence()
-        observers = np.nonzero(inc[:, mp_ids].any(axis=1))[0]
+        kk_o, _, _ = m.observations_of(mp_ids)  # COO, no dense incidence
+        observers = np.unique(kk_o)
         fixed = [int(x) for x in observers if int(x) not in set(win)]
         fixed = fixed[:fixed_cap]
         kfs = np.asarray(win + fixed, np.int64)

@@ -55,7 +55,7 @@ class TrackerConfig:
     init_window_px: float = 100.0
     min_track_matches: int = 20
     min_inliers_ok: int = 15         # below -> RECENTLY_LOST
-    local_points_cap: int = 2048     # padded local-map candidate set
+    local_points_cap: int = 4096     # padded local-map candidate set
     proj_radius: float = 15.0        # motion-model search window (px)
     proj_radius_wide: float = 30.0
     local_radius: float = 8.0
@@ -570,20 +570,26 @@ class Tracker:
         ref-KF-only set starves the local search after fast motion)."""
         m = self.map
         k1 = [self.ref_kf] + [int(x) for x in
-                              m.covisibility(self.ref_kf, min_shared=10)[:10]]
+                              m.covisibility(self.ref_kf, min_shared=10)[:20]]
         local = list(dict.fromkeys(k1))
-        for kf in k1[:5]:
-            for nb in m.covisibility(kf, min_shared=15)[:5]:
+        for kf in k1[:10]:
+            for nb in m.covisibility(kf, min_shared=15)[:10]:
                 nb = int(nb)
                 if nb not in local:
                     local.append(nb)
             p = int(m.kf_prev[kf])
             if p >= 0 and m.kf_valid[p] and p not in local:
                 local.append(p)
-            if len(local) >= 20:  # reference caps the local set at 80 KFs
+            if len(local) >= 80:  # reference cap (Tracking.cc:3406)
                 break
-        obs = m.kf_obs_mp[local]
-        ids = np.unique(obs[obs >= 0])
+        # points in LOCAL-KF-PROXIMITY order, so a capacity truncation drops
+        # the farthest keyframes' points first (the old np.unique order was
+        # slot order — arbitrary — and the cap starved TrackLocalMap of the
+        # nearest points on large maps, r3 weak #5)
+        obs = m.kf_obs_mp[local].reshape(-1)
+        obs = obs[obs >= 0]
+        uniq, first = np.unique(obs, return_index=True)
+        ids = uniq[np.argsort(first)]
         ids = ids[m.mp_valid[ids]]
         return ids
 
