@@ -37,6 +37,57 @@ def _load_gt(path):
     return _load_tum(path)
 
 
+def draw_map(atlas_path: str, out_path: str):
+    """Headless map view: keyframe centers, the covisibility graph (edge
+    weight >= 15, like MapDrawer's mGraph), the temporal/spanning chain,
+    and the landmark cloud — MapDrawer::DrawKeyFrames + DrawMapPoints
+    (/root/reference/src/MapDrawer.cc:37-160) rendered to a PNG."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    from orbslam3_tpu.slam_map import serialize
+
+    atlas = serialize.load_atlas(atlas_path, check_vocab=False)
+    maps = [m for m in atlas.maps.values() if m.n_keyframes > 0]
+    if not maps:
+        print('atlas has no populated maps')
+        return
+    fig, axes = plt.subplots(1, len(maps), figsize=(7 * len(maps), 6),
+                             squeeze=False)
+    for ax, m in zip(axes[0], maps):
+        live = m.mp_valid
+        ax.scatter(m.mp_pos[live, 0], m.mp_pos[live, 1], s=0.3, c='gray',
+                   alpha=0.35, label=f'{int(live.sum())} points')
+        kfs = m.keyframe_ids()
+        centers = np.stack([-m.kf_R[k].T @ m.kf_t[k] for k in kfs])
+        # covisibility graph (one device matmul)
+        W = m.covis_weights(kfs)
+        ai, bi = np.nonzero(np.triu(W >= 15, 1))
+        for a, b in zip(ai, bi):
+            ax.plot([centers[a, 0], centers[b, 0]],
+                    [centers[a, 1], centers[b, 1]], '-', c='tab:green',
+                    lw=0.4, alpha=0.5)
+        # temporal / spanning chain
+        for i, k in enumerate(kfs):
+            p = int(m.kf_prev[k])
+            if p >= 0 and m.kf_valid[p]:
+                j = int(np.nonzero(kfs == p)[0][0])
+                ax.plot([centers[i, 0], centers[j, 0]],
+                        [centers[i, 1], centers[j, 1]], '-', c='tab:blue',
+                        lw=0.9)
+        ax.scatter(centers[:, 0], centers[:, 1], s=14, c='tab:blue',
+                   marker='s', label=f'{len(kfs)} keyframes')
+        ax.set_title(f'map {m.map_id}')
+        ax.set_xlabel('x [m]'); ax.set_ylabel('y [m]')
+        ax.set_aspect('equal', 'datalim')
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=140)
+    print('wrote', out_path)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--traj', required=True)
@@ -46,7 +97,16 @@ def main():
     ap.add_argument('--out', default='traj.png')
     ap.add_argument('--align', action='store_true',
                     help='Sim3-align trajectory to GT before plotting')
+    ap.add_argument('--map-out', default='',
+                    help='also render the full map view (keyframes, '
+                         'covisibility graph, spanning tree, map points) '
+                         'from --atlas to this PNG — the headless analog '
+                         'of MapDrawer::DrawKeyFrames/DrawMapPoints '
+                         '(/root/reference/src/MapDrawer.cc)')
     args = ap.parse_args()
+
+    if args.map_out and args.atlas:
+        draw_map(args.atlas, args.map_out)
 
     import matplotlib
     matplotlib.use('Agg')
