@@ -110,7 +110,11 @@ def masked_match_ratio(
     """
     if use_pallas():
         from orbslam3_tpu.kernels import hamming_pallas
-        idx, best, second = hamming_pallas.masked_top2(planes_a, planes_b, mask)
+        # forced-on via env off-TPU (CI coverage of the kernel inside the
+        # full matcher stack, r3 weak #8) runs the kernel interpreted
+        interp = jax.default_backend() != "tpu"
+        idx, best, second = hamming_pallas.masked_top2(
+            planes_a, planes_b, mask, interpret=interp)
         ok = (best <= max_dist) & (
             best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
         return idx, best, ok

@@ -72,3 +72,61 @@ def test_masked_match_ratio_dispatch_parity():
     np.testing.assert_array_equal(np.asarray(ok_x), np.asarray(ok_ref))
     sel = np.asarray(ok_ref)
     np.testing.assert_array_equal(np.asarray(idx_x)[sel], np.asarray(idx_ref)[sel])
+
+
+def test_full_matcher_stack_through_pallas(monkeypatch):
+    """The REAL matcher entry points (search_by_projection / search_by_bow)
+    produce identical associations with the Pallas kernel forced on
+    (interpret mode off-TPU) vs the unfused XLA path — covers the kernel
+    inside the production call stack, not just in isolation (r3 weak #8)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from orbslam3_tpu.core.camera import Camera
+    from orbslam3_tpu.kernels import orb_descriptor as desc_k
+    from orbslam3_tpu.vision import matcher
+
+    rng = np.random.default_rng(41)
+    cam = Camera.pinhole(400.0, 400.0, 320.0, 240.0, width=640, height=480)
+    K, N = 256, 128
+    pts = np.stack([rng.uniform(-2, 2, K), rng.uniform(-1.5, 1.5, K),
+                    rng.uniform(3, 9, K)], -1).astype(np.float32)
+    desc = rng.integers(0, 2 ** 32, (K, 8), dtype=np.uint32)
+    mp_planes = desc_k.descriptor_planes(jnp.asarray(desc))
+    uv = np.asarray(cam.project(jnp.asarray(pts)))
+    f_uv = jnp.asarray(uv[:N] + rng.normal(0, 1.0, (N, 2)), jnp.float32)
+    f_planes = desc_k.descriptor_planes(jnp.asarray(desc[:N]))
+    f_oct = jnp.zeros(N, jnp.int32)
+    ones_k = jnp.ones(K, bool)
+    ones_n = jnp.ones(N, bool)
+    args = (jnp.asarray(pts), mp_planes, ones_k, jnp.eye(3), jnp.zeros(3),
+            cam, f_uv, f_planes, f_oct, ones_n,
+            jnp.asarray(10.0, jnp.float32))
+
+    import jax
+    monkeypatch.setenv("ORBSLAM3_TPU_PALLAS", "0")
+    jax.clear_caches()   # use_pallas() is read at TRACE time — force retrace
+    idx0, d0, ok0, n0, _ = matcher.search_by_projection(*args)
+    idx0, d0, ok0 = map(np.asarray, (idx0, d0, ok0)); n0 = int(n0)
+    monkeypatch.setenv("ORBSLAM3_TPU_PALLAS", "1")
+    jax.clear_caches()
+    idx1, d1, ok1, n1, _ = matcher.search_by_projection(*args)
+    assert int(n1) == int(n0) > 0.7 * N
+    np.testing.assert_array_equal(np.asarray(ok0), np.asarray(ok1))
+    np.testing.assert_array_equal(np.asarray(idx0)[np.asarray(ok0)],
+                                  np.asarray(idx1)[np.asarray(ok1)])
+
+    words = rng.integers(0, 1000, K).astype(np.int64)
+    ang = rng.uniform(0, 2 * np.pi, K).astype(np.float32)
+    bow_args = (jnp.asarray(words[:N]), f_planes, ones_n,
+                jnp.asarray(ang[:N]),
+                jnp.asarray(words), mp_planes, ones_k, jnp.asarray(ang))
+    monkeypatch.setenv("ORBSLAM3_TPU_PALLAS", "0")
+    jax.clear_caches()
+    bi0, bd0, bok0, bn0 = matcher.search_by_bow(*bow_args, k=10)
+    bok0 = np.asarray(bok0); bn0 = int(bn0)
+    monkeypatch.setenv("ORBSLAM3_TPU_PALLAS", "1")
+    jax.clear_caches()
+    bi1, bd1, bok1, bn1 = matcher.search_by_bow(*bow_args, k=10)
+    assert int(bn0) == int(bn1) > 0
+    np.testing.assert_array_equal(np.asarray(bok0), np.asarray(bok1))
