@@ -35,6 +35,10 @@ def main():
                     help='warm-start from an atlas checkpoint (.npz)')
     ap.add_argument('--save-atlas', default='',
                     help='save the atlas checkpoint at shutdown')
+    ap.add_argument('--vocab', default='auto',
+                    help="vocabulary .npz for loop closing/relocalization: "
+                         "'auto' (shipped 100k-word artifact), 'none', or "
+                         "a path")
     ap.add_argument('--localization', action='store_true',
                     help='localization-only mode: freeze mapping, track + '
                          'relocalize against the loaded atlas '
@@ -70,7 +74,15 @@ def main():
                           features_per_frame=settings.n_features))
     if args.imu:
         sys_cfg.imu_calib = settings.imu_calib()
-    slam = Slam(cam, sys_cfg,
+    vocab = None
+    if args.vocab != 'none':
+        from orbslam3_tpu.place.vocab import (Vocabulary,
+                                              load_default_vocabulary)
+        vocab = (load_default_vocabulary() if args.vocab == 'auto'
+                 else Vocabulary.load(args.vocab))
+        if vocab is not None:
+            print(f'vocabulary: {vocab.n_words} words')
+    slam = Slam(cam, sys_cfg, vocab=vocab,
                 load_atlas_from=args.load_atlas or None)
     if args.localization:
         slam.activate_localization_mode()

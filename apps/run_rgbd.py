@@ -29,6 +29,8 @@ def main():
                          'rgb.txt/depth.txt by nearest timestamp)')
     ap.add_argument('--max-frames', type=int, default=0)
     ap.add_argument('--save-tum', default='')
+    ap.add_argument('--vocab', default='auto',
+                    help="vocabulary .npz: 'auto' (shipped), 'none', or path")
     ap.add_argument('--cpu', action='store_true')
     ap.add_argument('--quiet', action='store_true')
     args = ap.parse_args()
@@ -54,7 +56,13 @@ def main():
     cfg = st.system_config(map_cfg=MapConfig(
         max_keyframes=256, max_points=20000,
         features_per_frame=st.n_features))
-    slam = Slam(st.camera(), cfg)
+    vocab = None
+    if args.vocab != 'none':
+        from orbslam3_tpu.place.vocab import (Vocabulary,
+                                              load_default_vocabulary)
+        vocab = (load_default_vocabulary() if args.vocab == 'auto'
+                 else Vocabulary.load(args.vocab))
+    slam = Slam(st.camera(), cfg, vocab=vocab)
     # reference inverts DepthMapFactor once (Tracking.cc ctor): raw 16-bit
     # depth * (1/factor) = meters
     inv_factor = (1.0 / st.depth_map_factor

@@ -125,6 +125,23 @@ class Vocabulary:
             idf=z["idf"])
 
 
+def default_vocabulary_path() -> str:
+    """Path of the shipped reference-scale vocabulary artifact (framework
+    analog of `Vocabulary/ORBvoc.txt`, loaded by the reference at
+    /root/reference/src/System.cc:118-126). Trained by
+    `scripts/train_vocab_large.py` (10^5 words from rendered scenes)."""
+    import os
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                        "assets", "vocab_100k.npz")
+
+
+def load_default_vocabulary() -> "Vocabulary | None":
+    """The shipped 10^5-word vocabulary, or None if the artifact is absent."""
+    import os
+    p = default_vocabulary_path()
+    return Vocabulary.load(p) if os.path.exists(p) else None
+
+
 def build_vocabulary(packed: np.ndarray, k: int = 8, depth: int = 3,
                      seed: int = 0) -> Vocabulary:
     """Train a k^depth-word binary vocabulary (DBoW2 `create`).
