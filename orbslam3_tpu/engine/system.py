@@ -335,6 +335,22 @@ class Slam:
                 [(len(old_traj), tracker.map)]
             self.trackers[cid] = fresh
 
+    def change_dataset(self):
+        """Reference `System::ChangeDataset` (`System.cc:1509+`, used by the
+        multi-sequence mains): close out the current sequence — store a
+        mature active map and spawn a fresh one (Tracking::CreateMapInAtlas
+        on the next frame) so the next sequence starts clean; later place
+        recognition can weld the maps back together."""
+        m = self.atlas.active
+        if m.n_keyframes > self.cfg.min_kfs_to_store_map:
+            self._log('dataset_change', stored_map=m.map_id,
+                      kfs=m.n_keyframes)
+            self.atlas.create_new_map()
+            self._rebind_all_trackers()
+        else:
+            self._log('dataset_change', stored_map=None, kfs=m.n_keyframes)
+            self.reset_active_map()
+
     def reset_active_map(self):
         """Reference `System::ResetActiveMap` (`System.cc:557+`)."""
         m = self.atlas.active

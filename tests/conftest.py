@@ -28,7 +28,8 @@ import pytest
 # died on a trivial pinhole_project compile at 58k+ maps). Dropping compile
 # caches when the map count gets high keeps the process far from the cliff;
 # the handful of recompiles it causes are noise next to suite runtime.
-_MAP_COUNT_LIMIT = 25_000
+_MAP_COUNT_LIMIT = 15_000  # one heavy e2e test can add ~10k maps before
+                           # the next fixture check; stay far from 65530
 
 
 def _n_memory_maps() -> int:
