@@ -1,10 +1,20 @@
 """Headline benchmark: tracking front-end latency per frame on one chip.
 
 Measures the flagship per-frame device program (ORB extraction -> projection
-association -> robust pose GN, i.e. `__graft_entry__.entry()`), the hot path
-the reference runs in 20-40 ms/frame on a desktop i7
+association -> robust pose GN, i.e. `__graft_entry__.entry()`) at the
+reference's EuRoC operating point — 1200 features, 752x480, 8 levels — the
+hot path the reference runs in 20-40 ms/frame on a desktop i7
 (`/root/reference/README.md` §2 real-time claim; BASELINE.md §B "Tracking
 thread latency" ~30 ms midpoint).
+
+Timing methodology (round 4): on the axon-tunneled dev TPU,
+`jax.block_until_ready` returns WITHOUT waiting for execution, and a value
+fetch pays a ~35-65 ms tunnel round trip — both corrupt naive loops (earlier
+rounds' numbers were dispatch/RTT artifacts). Every device metric here is
+measured by CHAINING: iteration i+1's inputs are data-dependent on iteration
+i's outputs, so the chain cannot overlap or be elided, and ONE value fetch at
+the end waits for the whole chain. Device time per call =
+(t_chain(N) - t_chain(1)) / (N - 1), which cancels the single RTT.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline > 1 means faster than the reference baseline.
@@ -26,7 +36,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 BASELINE_MS = 30.0  # reference tracking ms/frame midpoint (i7, BASELINE.md)
-# Reference-scale estimates for the two secondary rooflines (BASELINE.md has
+# Reference-scale estimates for the secondary rooflines (BASELINE.md has
 # no in-repo numbers for these; values estimated from the reference's
 # REGISTER_TIMES stage taxonomy on i7-class hardware):
 #  - local BA: ~40-100 ms per ~4-10 LM iterations -> ~10 ms/iteration
@@ -35,9 +45,56 @@ BASELINE_BA_MS_PER_ITER = 10.0
 BASELINE_MATCH_FEAT_PER_S = 333_000.0
 
 
+def _chain_time(step, x0, fetch, n=24, reps=3):
+    """Per-call device seconds of `step` via dependency chaining.
+
+    step: x -> x' (every output element data-depends on the input);
+    fetch: x -> host scalar/array (forces completion of the whole chain)."""
+    x = step(x0)
+    fetch(x)  # warm compile
+
+    def run(k):
+        t0 = time.perf_counter()
+        x = x0
+        for _ in range(k):
+            x = step(x)
+        fetch(x)
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(reps))
+    tn = min(run(n) for _ in range(reps))
+    return max((tn - t1) / (n - 1), 1e-9)
+
+
+def bench_frontend():
+    """entry()'s per-frame program, chained through its own pose output."""
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    img, R0, t0, wbin = args
+
+    # ONE jitted program per step, fold included: an eager op between jit
+    # calls would pay a tunnel dispatch each iteration (~35 ms) and swamp
+    # the measurement. wbin rides as an argument (33 MB constant guard).
+    @jax.jit
+    def step_all(im, R, t, w):
+        R2, t2, n_in = fn(im, R, t, w)
+        im2 = im + (n_in.astype(jnp.float32) * 1e-12)
+        return im2, R2, t2
+
+    def step(state):
+        im, R, t = state
+        return step_all(im, R, t, wbin)
+
+    per_call = _chain_time(step, (img, R0, t0),
+                           lambda s: np.asarray(s[0][0, 0]))
+    return per_call * 1e3
+
+
 def bench_local_ba():
     """Local-BA ms/iteration at a reference-shaped window: 12 free + 8
-    fixed keyframes, 2k landmarks, 8k observations (VERDICT r2 #6)."""
+    fixed keyframes, 2k landmarks, 8k observations, chained through the
+    optimized poses."""
     from orbslam3_tpu.core.camera import Camera
     from orbslam3_tpu.opt.ba import BAProblem, bundle_adjust
 
@@ -55,28 +112,27 @@ def bench_local_ba():
     uv = uv + rng.normal(0, 0.5, uv.shape).astype(np.float32)
     fixed = np.zeros(M, bool)
     fixed[12:] = True
-    prob = BAProblem(
+    prob0 = BAProblem(
         R=jnp.asarray(R), t=jnp.asarray(t), points=jnp.asarray(pts),
         kf_idx=jnp.asarray(kf_idx), lm_idx=jnp.asarray(lm_idx),
         uv=jnp.asarray(uv), info=jnp.ones(O, jnp.float32),
         valid=jnp.ones(O, bool), fixed_kf=jnp.asarray(fixed),
         fixed_lm=jnp.zeros(P, bool))
     n_iters = 10
-    out, _, _ = bundle_adjust(prob, cam, n_iters=n_iters)  # compile
-    jax.block_until_ready(out)
-    reps = []
-    for _ in range(5):
-        t0 = time.perf_counter()
+
+    def step(prob):
         out, _, _ = bundle_adjust(prob, cam, n_iters=n_iters)
-        jax.block_until_ready(out)
-        reps.append((time.perf_counter() - t0) / n_iters * 1e3)
-    return float(np.median(reps))
+        return prob._replace(R=out.R, t=out.t, points=out.points)
+
+    per_call = _chain_time(step, prob0, lambda p: np.asarray(p.t[0, 0]),
+                           n=12)
+    return per_call / n_iters * 1e3
 
 
 def bench_matcher():
     """Frame-to-map association throughput: one search_by_projection of a
-    1000-feature frame against a 2048-landmark padded candidate set;
-    reported as features associated per second per chip."""
+    1000-feature frame against a 2048-landmark padded candidate set,
+    chained through a zero-valued fold of the match output."""
     from orbslam3_tpu.core.camera import Camera
     from orbslam3_tpu.kernels import orb_descriptor as desc_k
     from orbslam3_tpu.vision import matcher
@@ -89,7 +145,7 @@ def bench_matcher():
          rng.uniform(4, 10, K)], -1).astype(np.float32))
     mp_planes = desc_k.descriptor_planes(jnp.asarray(
         rng.integers(0, 2 ** 32, (K, 8), dtype=np.uint32)))
-    f_uv = jnp.asarray(rng.uniform(0, 640, (N, 2)).astype(np.float32))
+    f_uv0 = jnp.asarray(rng.uniform(0, 640, (N, 2)).astype(np.float32))
     f_planes = desc_k.descriptor_planes(jnp.asarray(
         rng.integers(0, 2 ** 32, (N, 8), dtype=np.uint32)))
     f_oct = jnp.zeros(N, jnp.int32)
@@ -98,30 +154,30 @@ def bench_matcher():
     R0 = jnp.eye(3)
     t0v = jnp.zeros(3)
     r = jnp.asarray(15.0, jnp.float32)
-    out = matcher.search_by_projection(mp_pos, mp_planes, ones_k, R0, t0v,
-                                       cam, f_uv, f_planes, f_oct, ones_n, r)
-    jax.block_until_ready(out)
-    reps = []
-    for _ in range(5):
-        n_calls = 20
-        t0 = time.perf_counter()
-        for _ in range(n_calls):
-            out = matcher.search_by_projection(
-                mp_pos, mp_planes, ones_k, R0, t0v, cam,
-                f_uv, f_planes, f_oct, ones_n, r)
-        jax.block_until_ready(out)
-        reps.append((time.perf_counter() - t0) / n_calls)
-    per_call_s = float(np.median(reps))
-    return N / per_call_s
+
+    @jax.jit
+    def step(f_uv):
+        idx, best, ok, nm, vis = matcher.search_by_projection(
+            mp_pos, mp_planes, ones_k, R0, t0v, cam,
+            f_uv, f_planes, f_oct, ones_n, r)
+        return f_uv + (nm.astype(jnp.float32) * 1e-12)
+
+    per_call = _chain_time(step, f_uv0, lambda u: np.asarray(u[0, 0]))
+    return N / per_call
 
 
 def bench_full_system():
-    """Full-loop frames/s: tracking + local mapping + (when the shipped
-    vocabulary exists) loop closing, over a rendered 752x480 sequence at
-    the reference's 1000-feature EuRoC workload — the number the reference
-    quotes as 20-40 ms/frame end-to-end (BASELINE.md §B). Frames are
-    pre-staged on device (production hosts DMA frames asynchronously; the
-    dev tunnel's ~60 ms/transfer would otherwise swamp the measurement)."""
+    """Full-loop wall ms/frame: tracking + local mapping + loop closing
+    (shipped vocabulary) over a rendered 752x480 sequence at the 1000-
+    feature EuRoC workload — the number the reference quotes as 20-40
+    ms/frame end-to-end (BASELINE.md §B).
+
+    CAVEAT (environmental, reported as-is): in this dev setup the chip sits
+    behind a network tunnel with ~35-65 ms per host<->device round trip,
+    and the host has 2 CPU cores; the per-frame HOSTork (result fetches,
+    map bookkeeping) pays that tunnel tax dozens of times per frame. The
+    device compute per frame is the frontend/BA/matcher metrics above; on a
+    co-located production TPU host the round trip is ~0.1 ms."""
     from orbslam3_tpu.core.camera import Camera
     from orbslam3_tpu.datasets.render import BoxScene
     from orbslam3_tpu.datasets.synth_euroc import excited_trajectory
@@ -136,28 +192,26 @@ def bench_full_system():
     scene = BoxScene.default(seed=2)
     center = (scene.lo + scene.hi) / 2.0
     center = (float(center[0]), float(center[1]), float(center[2]) + 3.0)
-    n_frames = 60
+    n_frames = 40
     R_cw, t_cw, _, _, _, _ = excited_trajectory(
-        n_frames, 20.0, 200.0, center, radius=3.0, arc=0.9,
+        n_frames, 20.0, 200.0, center, radius=3.0, arc=0.7,
         excitation=0.04, seed=2)
     imgs = [scene.render(K, R_cw[i], t_cw[i], W, H, seed=1000 + i)
             for i in range(n_frames)]
 
     vocab = None
-    vpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "orbslam3_tpu", "assets", "vocab_100k.npz")
-    if os.path.exists(vpath):
-        from orbslam3_tpu.place.vocab import Vocabulary
-        vocab = Vocabulary.load(vpath)
+    try:
+        from orbslam3_tpu.place.vocab import load_default_vocabulary
+        vocab = load_default_vocabulary()
+    except Exception:
+        pass
     cfg = SystemConfig(sensor=Sensor.MONOCULAR,
                        map=MapConfig(256, 20000, NF),
                        tracker=TrackerConfig(n_features=NF),
                        async_mapping=True)
     slam = Slam(cam, cfg, vocab=vocab)
     ts = np.arange(n_frames) / 20.0
-    # warm the compiles on the first frames (init path + track path)
     dev_imgs = [jnp.asarray(im, jnp.float32) for im in imgs]
-    jax.block_until_ready(dev_imgs)
     n_warm = 10
     for i in range(n_warm):
         slam.track_monocular(dev_imgs[i], float(ts[i]))
@@ -173,36 +227,7 @@ def bench_full_system():
 
 
 def main():
-    import __graft_entry__
-
-    fn, args = __graft_entry__.entry()
-    img, rest = args[0], args[1:]
-    step = jax.jit(fn)
-
-    # warmup / compile
-    out = step(img, *rest)
-    jax.block_until_ready(out)
-
-    # steady-state: feed fresh frames (new pixel content, same shapes),
-    # pre-staged on device. On production TPU hosts the frame DMA is
-    # ~0.1 ms (1.4 MB over PCIe); in this dev environment the axon tunnel
-    # adds ~60 ms/transfer, which would swamp the number being measured
-    # (the per-frame device program). Median-of-batches resists tunnel
-    # dispatch jitter.
-    rng = np.random.default_rng(1)
-    frames = [jnp.asarray(rng.uniform(0, 255, img.shape), jnp.float32)
-              for _ in range(8)]
-    jax.block_until_ready(frames)
-    batches = []
-    for rep in range(7):
-        n_iters = 16
-        t_start = time.perf_counter()
-        for i in range(n_iters):
-            out = step(frames[i % len(frames)], *rest)
-        jax.block_until_ready(out)
-        batches.append((time.perf_counter() - t_start) / n_iters * 1e3)
-    ms = float(np.median(batches))
-
+    ms = bench_frontend()
     ba_ms = bench_local_ba()
     match_fps = bench_matcher()
     full_ms = bench_full_system()
@@ -220,7 +245,11 @@ def main():
              "vs_baseline": round(match_fps / BASELINE_MATCH_FEAT_PER_S, 3)},
             {"metric": "full_system_ms_per_frame",
              "value": round(full_ms, 3), "unit": "ms",
-             "vs_baseline": round(BASELINE_MS / full_ms, 3)},
+             "vs_baseline": round(BASELINE_MS / full_ms, 3),
+             "note": "host-side wall clock; in this dev environment the "
+                     "chip is behind a ~35-65 ms/rt network tunnel the "
+                     "host pays dozens of times per frame — device compute "
+                     "per frame is the three metrics above"},
         ],
     }))
 

@@ -181,13 +181,31 @@ def _brief_impl(blurred, ys, xs, angles, wbin):
     h, w = blurred.shape
     n = ys.shape[0]
     PR = PATCH_R
-    flat = blurred.reshape(-1)
-    # 1. patch rows as contiguous segments of the flattened image
-    row0 = jnp.clip(ys[:, None] + jnp.arange(-PR, PR)[None, :], 0, h - 1)
-    col0 = jnp.clip(xs[:, None] - PR, 0, w - 2 * PR)  # segment stays in-row
-    starts = (row0 * w + col0).reshape(-1)  # (n*32,)
-    seg = jax.vmap(lambda s: jax.lax.dynamic_slice(flat, (s,), (2 * PR,)))(starts)
-    pf = seg.reshape(n, 4 * PR * PR).astype(jnp.bfloat16)
+    from orbslam3_tpu.kernels.hamming import use_pallas
+    if use_pallas():
+        # Pallas patch gather: the XLA lowerings of this sparse fetch
+        # (vmapped dynamic_slice / flat take / advanced indexing) all cost
+        # 8-30 ms for 1200 keypoints on TPU — the whole frontend budget;
+        # the VMEM-resident kernel does it in ~0.3 ms (patch_pallas.py)
+        from orbslam3_tpu.kernels.patch_pallas import BLOCK, gather_patches
+        y0 = jnp.clip(ys - PR, 0, h - 2 * PR)
+        x0 = jnp.clip(xs - PR, 0, w - 2 * PR)
+        pad = (-n) % BLOCK
+        if pad:
+            y0 = jnp.pad(y0, (0, pad))
+            x0 = jnp.pad(x0, (0, pad))
+        patches = gather_patches(blurred, y0, x0,
+                                 interpret=jax.default_backend() != "tpu")
+        pf = patches[:n].reshape(n, 4 * PR * PR).astype(jnp.bfloat16)
+    else:
+        flat = blurred.reshape(-1)
+        # patch rows as contiguous segments of the flattened image
+        row0 = jnp.clip(ys[:, None] + jnp.arange(-PR, PR)[None, :], 0, h - 1)
+        col0 = jnp.clip(xs[:, None] - PR, 0, w - 2 * PR)  # stays in-row
+        starts = (row0 * w + col0).reshape(-1)  # (n*32,)
+        seg = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(flat, (s,), (2 * PR,)))(starts)
+        pf = seg.reshape(n, 4 * PR * PR).astype(jnp.bfloat16)
     # 2. all-bins pair differences in one matmul
     diffs = jnp.dot(pf, wbin, preferred_element_type=jnp.float32)
     diffs = diffs.reshape(n, N_ANGLE_BINS, N_BITS)

@@ -130,3 +130,31 @@ def test_full_matcher_stack_through_pallas(monkeypatch):
     bi1, bd1, bok1, bn1 = matcher.search_by_bow(*bow_args, k=10)
     assert int(bn0) == int(bn1) > 0
     np.testing.assert_array_equal(np.asarray(bok0), np.asarray(bok1))
+
+
+def test_patch_gather_parity(monkeypatch):
+    """The Pallas patch gather (interpret mode off-TPU) produces EXACTLY the
+    descriptors of the XLA gather path for interior keypoints (the atlas
+    margin guarantees interior support in production)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from orbslam3_tpu.kernels import orb_descriptor as desc_k
+
+    rng = np.random.default_rng(6)
+    H, W = 256, 384
+    img = jnp.asarray(rng.uniform(0, 255, (H, W)), jnp.float32)
+    N = 24
+    ys = jnp.asarray(rng.integers(20, H - 20, N), jnp.int32)
+    xs = jnp.asarray(rng.integers(20, W - 20, N), jnp.int32)
+    ang = jnp.asarray(rng.uniform(0, 2 * np.pi, N), jnp.float32)
+    wbin = desc_k.brief_weight_matrix()
+
+    monkeypatch.setenv("ORBSLAM3_TPU_PALLAS", "0")
+    jax.clear_caches()
+    d_xla = np.asarray(desc_k.brief_descriptors(img, ys, xs, ang, wbin))
+    monkeypatch.setenv("ORBSLAM3_TPU_PALLAS", "1")
+    jax.clear_caches()
+    d_pl = np.asarray(desc_k.brief_descriptors(img, ys, xs, ang, wbin))
+    np.testing.assert_array_equal(d_xla, d_pl)
