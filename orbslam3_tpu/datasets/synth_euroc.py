@@ -29,7 +29,8 @@ def _quat_wxyz(R: np.ndarray) -> np.ndarray:
 def excited_trajectory(n_frames: int, fps: float, imu_rate: float,
                        center, radius: float, arc: float,
                        excitation: float = 0.06,
-                       rot_excitation: float = 0.0, seed: int = 0):
+                       rot_excitation: float = 0.0, seed: int = 0,
+                       look: str = 'center'):
     """Orbit + sinusoidal excitation with ANALYTICALLY consistent IMU.
 
     Monocular-inertial scale is only observable with real acceleration
@@ -60,9 +61,18 @@ def excited_trajectory(n_frames: int, fps: float, imu_rate: float,
     for ax in range(3):
         C[:, ax] += excitation * np.sin(2 * np.pi * freqs[ax] * t
                                         + phases[ax])
-    # look-at rotations (z toward scene center)
-    look = np.asarray(center, np.float64)[None] - C
-    z = look / np.linalg.norm(look, axis=1, keepdims=True)
+    # gaze model: 'center' looks at the scene center (every view shares
+    # landmarks — no covisibility break, so loop closure never NEEDS to
+    # fire); 'tangent' looks along the direction of travel (corridor-style:
+    # views at different headings see different walls, covisibility breaks
+    # behind the camera, and a revisit is only recoverable through place
+    # recognition — the loop-closure golden geometry)
+    if look == 'tangent':
+        d = np.gradient(C, axis=0)
+        z = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    else:
+        look_v = np.asarray(center, np.float64)[None] - C
+        z = look_v / np.linalg.norm(look_v, axis=1, keepdims=True)
     up = np.array([0.0, 1.0, 0.0])
     x = np.cross(np.broadcast_to(up, z.shape), z)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
@@ -157,7 +167,8 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
                       kb8_dist: tuple = (0.05, 0.01, 0.002, 0.001),
                       stereo_baseline: float = 0.0,
                       pinhole_dist: tuple = (),
-                      stereo_rot: float = 0.0) -> str:
+                      stereo_rot: float = 0.0,
+                      look: str = 'center') -> str:
     """Render and write a sequence; returns `out_dir`.
 
     Body frame == camera frame (T_b_c1 = I). Timestamps start at 100 s to
@@ -170,7 +181,8 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
     center = (float(center[0]), float(center[1]), float(center[2]) + 3.0)
     R_cw, t_cw, frame_idx, imu_t, imu_gyro, imu_acc = excited_trajectory(
         n_frames, fps, imu_rate, center, radius, arc,
-        excitation=excitation, rot_excitation=rot_excitation, seed=seed)
+        excitation=excitation, rot_excitation=rot_excitation, seed=seed,
+        look=look)
     t0 = 100.0
     frame_ts = t0 + np.arange(n_frames) / fps
 

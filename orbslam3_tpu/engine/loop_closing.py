@@ -92,6 +92,7 @@ class LoopCloser:
         """InsertKeyFrame + one Run-loop pass for keyframe slot `k` of the
         active map. Returns the loop/merge event if one was closed."""
         m = self.atlas.active
+        self._ensure_cull_hook(m)
         words, bow = self.db.compute_bow(m.kf_desc[k], m.kf_feat_valid[k])
         event = None
         # inertial maps may only fire place recognition after VIBA2: before
@@ -108,18 +109,38 @@ class LoopCloser:
     def _covis_fn(self, m: MapState):
         return lambda kf: [int(x) for x in m.covisibility(kf, min_shared=10)]
 
+    def _ensure_cull_hook(self, m: MapState):
+        """Register the database-erase observer on this map once: culling a
+        keyframe must drop its database row BEFORE the slot is reused
+        (KeyFrame::SetBadFlag -> KeyFrameDatabase::erase)."""
+        if any(getattr(cb, '_kfdb_hook', False) for cb in m.on_kf_removed):
+            return
+
+        def hook(slot, _mid=m.map_id, _db=self.db):
+            _db.erase(slot, map_id=_mid)
+
+        hook._kfdb_hook = True
+        m.on_kf_removed.append(hook)
+
+    def _covis_by_map(self, mid: int, slot: int):
+        """Cross-map covisibility for database group accumulation."""
+        mm = self.atlas.maps.get(mid)
+        if mm is None or slot >= len(mm.kf_valid) or not mm.kf_valid[slot]:
+            return []
+        return [int(x) for x in mm.covisibility(slot, min_shared=10)]
+
     def _detect_and_correct(self, m: MapState, k: int, bow) -> LoopEvent | None:
         cfg = self.cfg
         exclude = {int(k)} | set(
             int(x) for x in m.covisibility(k, min_shared=5))
         cands = self.db.detect_n_best_candidates(
-            bow, exclude, self._covis_fn(m), n_best=cfg.n_best_candidates)
+            bow, exclude, self._covis_by_map, n_best=cfg.n_best_candidates,
+            exclude_map_id=m.map_id)
         prev_chains = self._chains.get(m.map_id, [])
         new_chains: list[tuple[set[int], int]] = []
         fired = None
-        for cand in cands:
+        for cand_map_id, cand in cands:
             cand = int(cand)
-            cand_map_id = int(self.db.map_of[cand])
             if cand_map_id == m.map_id:
                 # S_cur<-cand (the reference's Scm: matched-cam -> current-cam)
                 res = self._verify_sim3(m, cand, m, k)
@@ -147,7 +168,9 @@ class LoopCloser:
                     fired = ev
             else:
                 # candidate lives in a stored map -> merge (MergeLocal)
-                other = self.atlas.maps[cand_map_id]
+                other = self.atlas.maps.get(cand_map_id)
+                if other is None or not other.kf_valid[cand]:
+                    continue
                 res = self._verify_sim3(other, cand, m, k)
                 if res is None:
                     continue

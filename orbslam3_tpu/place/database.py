@@ -44,6 +44,18 @@ class BowVec(NamedTuple):
 
 
 class KeyFrameDatabase:
+    """Rows are keyed by (map_id, keyframe slot).
+
+    The Atlas holds several maps whose keyframe SLOTS overlap (each map's
+    arrays start at slot 0) and slots are REUSED after culling — so a
+    slot-indexed store silently lets one map's keyframes stomp another's
+    rows and leaves stale rows behind culled keyframes (both poisoned loop
+    retrieval AND Sim3 verification, which reads the slot's CURRENT
+    occupant). Rows here are allocated per (map_id, slot) key and freed on
+    erase/clear_map — the analog of the reference's per-KeyFrame-pointer
+    inverted file (`KeyFrameDatabase::add/erase`, KeyFrameDatabase.cc:46-77,
+    with `KeyFrame::SetBadFlag` erasing its database entry)."""
+
     def __init__(self, vocab: Vocabulary, max_keyframes: int = 512,
                  words_per_frame: int = 1024):
         self.vocab = vocab
@@ -55,6 +67,10 @@ class KeyFrameDatabase:
         self.kf_weights = np.zeros((M, F), np.float32)
         self.active = np.zeros(M, bool)
         self.map_of = np.full(M, -1, np.int64)      # owning map id (Atlas)
+        self.slot_of = np.full(M, -1, np.int64)     # keyframe slot in map
+        self._row: dict[tuple[int, int], int] = {}  # (map_id, slot) -> row
+        self._free: list[int] = []
+        self._next_row = 0
 
     # -- ingestion -------------------------------------------------------------
     def _sparse_bow(self, words: np.ndarray, valid: np.ndarray) -> BowVec:
@@ -78,9 +94,9 @@ class KeyFrameDatabase:
         return words, self._sparse_bow(words, np.asarray(valid))
 
     def ensure_capacity(self, n_rows: int):
-        """Double the row store until keyframe slot `n_rows-1` fits — tracks
-        MapState tier bumps so database rows are never silently dropped
-        (VERDICT r3 weak #2; the reference's inverted file is unbounded)."""
+        """Double the row store until row `n_rows-1` fits — tracks MapState
+        tier bumps so database rows are never silently dropped (VERDICT r3
+        weak #2; the reference's inverted file is unbounded)."""
         M = len(self.active)
         if n_rows <= M:
             return
@@ -95,24 +111,49 @@ class KeyFrameDatabase:
         self.active = np.concatenate([self.active, np.zeros(pad, bool)])
         self.map_of = np.concatenate(
             [self.map_of, np.full(pad, -1, np.int64)])
+        self.slot_of = np.concatenate(
+            [self.slot_of, np.full(pad, -1, np.int64)])
+
+    def _alloc_row(self, key: tuple[int, int]) -> int:
+        r = self._row.get(key)
+        if r is not None:
+            return r
+        if self._free:
+            r = self._free.pop()
+        else:
+            r = self._next_row
+            self._next_row += 1
+        self.ensure_capacity(r + 1)
+        self._row[key] = r
+        return r
 
     def add(self, kf: int, bow: BowVec, map_id: int = 0):
-        self.ensure_capacity(kf + 1)
-        self.kf_words[kf] = bow.words
-        self.kf_weights[kf] = bow.weights
-        self.active[kf] = True
-        self.map_of[kf] = map_id
+        r = self._alloc_row((int(map_id), int(kf)))
+        self.kf_words[r] = bow.words
+        self.kf_weights[r] = bow.weights
+        self.active[r] = True
+        self.map_of[r] = map_id
+        self.slot_of[r] = kf
 
-    def erase(self, kf: int):
-        self.active[kf] = False
-        self.kf_words[kf] = -1
-        self.kf_weights[kf] = 0
+    def erase(self, kf: int, map_id: int = 0):
+        """KeyFrame::SetBadFlag's database erase — MUST be called when a
+        keyframe is culled, or its reused slot serves stale retrievals."""
+        r = self._row.pop((int(map_id), int(kf)), None)
+        if r is None:
+            return
+        self.active[r] = False
+        self.kf_words[r] = -1
+        self.kf_weights[r] = 0
+        self.map_of[r] = -1
+        self.slot_of[r] = -1
+        self._free.append(r)
 
     def clear_map(self, map_id: int):
-        m = self.map_of == map_id
-        self.active[m] = False
-        self.kf_words[m] = -1
-        self.kf_weights[m] = 0
+        for (mid, slot) in [k for k in self._row if k[0] == int(map_id)]:
+            self.erase(slot, map_id=mid)
+
+    def row_for(self, kf: int, map_id: int = 0):
+        return self._row.get((int(map_id), int(kf)))
 
     # -- queries ---------------------------------------------------------------
     def _scores(self, query: BowVec, candidate_mask: np.ndarray):
@@ -166,11 +207,35 @@ class KeyFrameDatabase:
                 out.append(leader)
         return np.asarray(out, np.int64)
 
+    def _row_covis(self, covis_fn):
+        """Lift a per-map slot-level covisibility function to database rows.
+
+        `covis_fn(slot) -> [slots]` (single-map callers) or
+        `covis_fn(map_id, slot) -> [slots]` (cross-map callers, detected by
+        arity). Neighbor slots translate back to rows of the SAME map; slots
+        without a row (never registered / erased) are dropped."""
+        import inspect
+        two_arg = len(inspect.signature(covis_fn).parameters) >= 2
+        def rows_of(r):
+            mid = int(self.map_of[r])
+            slot = int(self.slot_of[r])
+            neigh = (covis_fn(mid, slot) if two_arg else covis_fn(slot))
+            out = []
+            for ns in neigh:
+                nr = self._row.get((mid, int(ns)))
+                if nr is not None:
+                    out.append(nr)
+            return out
+        return rows_of
+
     def detect_relocalization_candidates(
             self, query: BowVec, covis_fn, map_id: int | None = None):
-        """Candidates for relocalization (KeyFrameDatabase.cc:578-719)."""
+        """Candidates for relocalization (KeyFrameDatabase.cc:578-719).
+        Returns keyframe SLOTS of `map_id` (must be given: relocalization
+        runs against one map)."""
         cmask = np.ones_like(self.active) if map_id is None else (
             self.map_of == map_id)
+        cmask &= self.active
         shared, score = self._scores(query, cmask)
         if shared.max() <= 0:
             return np.zeros(0, np.int64)
@@ -178,23 +243,30 @@ class KeyFrameDatabase:
         cands = np.nonzero((shared >= max(min_common, 1)) & (score > -1))[0]
         if cands.size == 0:
             return np.zeros(0, np.int64)
-        return self._group_accumulate(score, cands, covis_fn, ratio=0.75)
+        rows = self._group_accumulate(score, cands, self._row_covis(covis_fn),
+                                      ratio=0.75)
+        return self.slot_of[rows]
 
     def detect_n_best_candidates(
             self, query: BowVec, exclude: set[int], covis_fn,
-            n_best: int = 3):
+            n_best: int = 3, exclude_map_id: int = 0):
         """Top-N loop/merge candidates (KeyFrameDatabase.cc:440-576),
-        excluding the query keyframe's own covisible set."""
+        excluding the query keyframe's own covisible set (`exclude` holds
+        SLOTS of `exclude_map_id`). Returns [(map_id, slot), ...]."""
         cmask = self.active.copy()
         for e in exclude:
-            if 0 <= e < cmask.size:
-                cmask[e] = False
+            r = self._row.get((int(exclude_map_id), int(e)))
+            if r is not None:
+                cmask[r] = False
         shared, score = self._scores(query, cmask)
         if shared.max() <= 0:
-            return np.zeros(0, np.int64)
+            return []
         min_common = 0.8 * shared.max()
         cands = np.nonzero((shared >= max(min_common, 1)) & (score > -1))[0]
         if cands.size == 0:
-            return np.zeros(0, np.int64)
-        leaders = self._group_accumulate(score, cands, covis_fn, ratio=0.0)
-        return leaders[:n_best]
+            return []
+        leaders = self._group_accumulate(score, cands,
+                                         self._row_covis(covis_fn),
+                                         ratio=0.0)
+        return [(int(self.map_of[r]), int(self.slot_of[r]))
+                for r in leaders[:n_best]]

@@ -112,7 +112,8 @@ class TestKeyFrameDatabase:
         _, qv = db.compute_bow(perturb(base, 2), np.ones(100, bool))
         cands = db.detect_n_best_candidates(qv, exclude={0, 1}, covis_fn=lambda k: [],
                                             n_best=3)
-        assert 0 not in cands.tolist() and 1 not in cands.tolist()
+        slots = [s for _, s in cands]
+        assert 0 not in slots and 1 not in slots
         assert len(cands) >= 1
 
     def test_clear_map(self):
@@ -247,6 +248,6 @@ class TestScaleVocabulary:
             db.add(i, bow)
         _, qb = db.compute_bow(dup, np.ones(300, bool))
         cands = db.detect_n_best_candidates(qb, set(), lambda k: [], n_best=3)
-        assert len(cands) >= 1 and cands[0] == 4
+        assert len(cands) >= 1 and cands[0][1] == 4
         # memory: sparse table is vocab-size independent
         assert db.kf_words.nbytes + db.kf_weights.nbytes < 16 * 2 ** 20

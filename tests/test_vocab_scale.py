@@ -88,10 +88,10 @@ def test_loop_candidate_precision_recall(tmp_path_factory):
         d = np.linalg.norm(centers[np.asarray(reg)] - centers[i], axis=1)
         gt_near = set(np.nonzero(d < 1.2)[0])  # <= 0.96 m at frame 152
         assert gt_near, "query frames must actually revisit registered views"
-        hit = any(int(c) in gt_near for c in cands)
+        hit = any(int(c) in gt_near for _, c in cands)
         tp += int(hit)
         fn += int(not hit)
-        fp += sum(1 for c in cands if int(c) not in gt_near)
+        fp += sum(1 for _, c in cands if int(c) not in gt_near)
     recall = tp / max(tp + fn, 1)
     n_q = len(list(queries))
     precision = tp / max(tp + fp, 1)
