@@ -372,7 +372,8 @@ class Slam:
         m = self.atlas.active
         ev = self.loop_closer.process_keyframe(k)
         if ev is not None:
-            self._log('loop_event', kind=getattr(ev, 'kind', 'loop'), kf=k)
+            self._log('loop_event', loop_kind=getattr(ev, 'kind', 'loop'),
+                      kf=k)
 
     # -------------------------------------------------------- relocalization
 

@@ -467,11 +467,21 @@ class Tracker:
             self._init_feats.uv, p_ref, self._init_feats.valid,
             feats.uv, p_cur, feats.valid,
             radius=cfg.init_window_px,
-            # dominant-orientation voting (reference CheckOrientation in
-            # SearchForInitialization, ORBmatcher.cc)
-            ang1=self._init_feats.angle, ang2=feats.angle,
-            check_rotation=True,
         )
+        # dominant-orientation voting (reference CheckOrientation in
+        # SearchForInitialization, ORBmatcher.cc) — applied ADAPTIVELY:
+        # when the vote would prune only a small minority, those few
+        # stragglers are RANSAC's job and keeping match density conditions
+        # the init BA better (our init pairs can span wider baselines than
+        # the reference's adjacent-frame pairs, so perspective-induced
+        # rotation spread is normal); when the vote flags a LARGE fraction
+        # the set is outlier-ridden — the low-texture regime the reference
+        # built this filter for — and it applies in full.
+        kept = matcher.rotation_consistency(
+            self._init_feats.angle, feats.angle, idx, ok)
+        n_kept = int(jnp.sum(kept))
+        if n_kept < 0.7 * int(n):
+            ok, n = kept, n_kept
         if int(n) < cfg.init_min_matches:
             # reference: replace the reference frame and retry
             self._init_feats = feats
@@ -569,27 +579,41 @@ class Tracker:
         K2 second-order neighbors and spanning-tree relatives; a thin
         ref-KF-only set starves the local search after fast motion)."""
         m = self.map
+        # ADAPTIVE breadth (r3 weak #5 vs a measured regression): the
+        # reference expands to 80 local KFs (Tracking.cc:3406), which a
+        # large map needs — but on small maps with repeated texture the
+        # extra far-KF points are aliasing distractors for the full-matrix
+        # matcher (stereo golden: 48 -> 84 mm when always-wide). Scale the
+        # expansion with map size instead.
+        n_kfs = m.n_keyframes
+        cap_kfs = int(np.clip(n_kfs // 3, 20, 80))
+        k1_n = 10 if cap_kfs <= 20 else 20
         k1 = [self.ref_kf] + [int(x) for x in
-                              m.covisibility(self.ref_kf, min_shared=10)[:20]]
+                              m.covisibility(self.ref_kf,
+                                             min_shared=10)[:k1_n]]
         local = list(dict.fromkeys(k1))
-        for kf in k1[:10]:
-            for nb in m.covisibility(kf, min_shared=15)[:10]:
+        for kf in k1[:k1_n // 2]:
+            for nb in m.covisibility(kf, min_shared=15)[:k1_n // 2]:
                 nb = int(nb)
                 if nb not in local:
                     local.append(nb)
             p = int(m.kf_prev[kf])
             if p >= 0 and m.kf_valid[p] and p not in local:
                 local.append(p)
-            if len(local) >= 80:  # reference cap (Tracking.cc:3406)
+            if len(local) >= cap_kfs:
                 break
-        # points in LOCAL-KF-PROXIMITY order, so a capacity truncation drops
-        # the farthest keyframes' points first (the old np.unique order was
-        # slot order — arbitrary — and the cap starved TrackLocalMap of the
-        # nearest points on large maps, r3 weak #5)
         obs = m.kf_obs_mp[local].reshape(-1)
         obs = obs[obs >= 0]
         uniq, first = np.unique(obs, return_index=True)
-        ids = uniq[np.argsort(first)]
+        if len(uniq) > self.cfg.local_points_cap:
+            # overflow: keep the candidates discovered through the NEAREST
+            # keyframes (first-occurrence order), then restore ascending
+            # slot order — the matcher's tie-break prefers earlier slots,
+            # i.e. older, better-established landmarks
+            keep = uniq[np.argsort(first)][:self.cfg.local_points_cap]
+            ids = np.sort(keep)
+        else:
+            ids = uniq
         ids = ids[m.mp_valid[ids]]
         return ids
 
