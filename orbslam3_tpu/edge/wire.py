@@ -81,8 +81,10 @@ def encode_frame(frame_id: int, timestamp_ns: int, uv: np.ndarray,
     return head + kp.tobytes() + imu.tobytes()
 
 
-def decode_frame(payload: bytes) -> FramePacket:
-    """Parse a SlamPktVI payload into arrays (inverse of `encode_frame`)."""
+def decode_frame_py(payload: bytes) -> FramePacket:
+    """Pure-numpy SlamPktVI parse (inverse of `encode_frame`) — the
+    behavioural reference for the native codec and the fallback on hosts
+    without a C++ toolchain."""
     frame_id, timestamp_ns = struct.unpack_from('<iq', payload, 0)
     n, m = struct.unpack_from('>HH', payload, 12)
     buf = np.frombuffer(payload, np.uint8)
@@ -100,6 +102,48 @@ def decode_frame(payload: bytes) -> FramePacket:
     acc = np.ascontiguousarray(imu[:, 20:32]).view('<f4').reshape(m, 3)
     return FramePacket(frame_id, timestamp_ns, uv, desc,
                        imu_ts.copy(), gyro.copy(), acc.copy())
+
+
+def decode_frame_native(payload: bytes) -> FramePacket | None:
+    """SlamPktVI parse through the C++ codec (orbslam3_tpu/native);
+    returns None when the native library is unavailable or the payload is
+    malformed — callers fall back to `decode_frame_py`."""
+    import ctypes
+
+    from orbslam3_tpu.native import load_wirecodec
+    lib = load_wirecodec()
+    if lib is None:
+        return None
+    buf = np.frombuffer(payload, np.uint8)
+    p = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    fid = ctypes.c_int32()
+    ts = ctypes.c_int64()
+    n = ctypes.c_int32()
+    m = ctypes.c_int32()
+    if lib.svi_header(p, len(payload), ctypes.byref(fid), ctypes.byref(ts),
+                      ctypes.byref(n), ctypes.byref(m)) != 0:
+        return None
+    uv = np.empty((n.value, 2), np.float32)
+    desc = np.empty((n.value, DESC_LEN), np.uint8)
+    imu_ts = np.empty(m.value, np.int64)
+    gyro = np.empty((m.value, 3), np.float32)
+    acc = np.empty((m.value, 3), np.float32)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    rc = lib.svi_decode(
+        p, len(payload), uv.ctypes.data_as(f32p),
+        desc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        imu_ts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        gyro.ctypes.data_as(f32p), acc.ctypes.data_as(f32p))
+    if rc != 0:
+        return None
+    return FramePacket(fid.value, ts.value, uv, desc, imu_ts, gyro, acc)
+
+
+def decode_frame(payload: bytes) -> FramePacket:
+    """Parse a SlamPktVI payload: native C++ codec when available, numpy
+    otherwise."""
+    pkt = decode_frame_native(payload)
+    return pkt if pkt is not None else decode_frame_py(payload)
 
 
 # ---------------------------------------------------------------- CmdPkt

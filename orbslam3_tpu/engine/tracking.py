@@ -61,6 +61,8 @@ class TrackerConfig:
     local_radius: float = 8.0
     kf_ref_ratio: float = 0.9        # reference thRefRatio (mono)
     kf_max_interval: int = 10        # frames; reference mMaxFrames ~ fps
+    kf_min_interval: int = 3         # cooldown — the sync-mapper analog of
+                                     # the reference's bLocalMappingIdle gate
     kf_min_inliers: int = 15
     max_mp_dist: int = 100           # TH_HIGH descriptor gate
     recently_lost_frames: int = 20   # ~1s at 20fps (time_recently_lost)
@@ -1031,10 +1033,35 @@ class Tracker:
             return False  # frozen map (NeedNewKeyFrame's mbOnlyTracking gate)
         if self.ref_kf < 0:
             return False
-        ref_tracked = int((self.map.kf_obs_mp[self.ref_kf] >= 0).sum())
+        # the reference compares against the ref KF's WELL-SUPPORTED points
+        # only — TrackedMapPoints(nMinObs=3) in NeedNewKeyFrame
+        # (Tracking.cc:3208+) — not its raw observation count. Counting raw
+        # observations inflates the threshold right after insertion (every
+        # fresh triangulation has 2 observers), which makes `weak` fire
+        # near-every-frame and thrash against KeyFrameCulling: insert ->
+        # 90%-redundant neighbor culled -> support drops -> insert ...
+        m = self.map
+        obs_all = m.kf_obs_mp[m.kf_valid]
+        nobs = np.bincount(obs_all[obs_all >= 0], minlength=m.cfg.max_points)
+        ref_obs = m.kf_obs_mp[self.ref_kf]
+        ref_obs = ref_obs[ref_obs >= 0]
+        min_obs = 3 if m.n_keyframes > 2 else 2
+        ref_tracked = int((nobs[ref_obs] >= min_obs).sum())
         if n_in < cfg.kf_min_inliers:
             return False
         weak = n_in < cfg.kf_ref_ratio * ref_tracked
+        # KF-cadence backpressure: the reference defers insertion while
+        # LocalMapping is busy (NeedNewKeyFrame c1b `bLocalMappingIdle`,
+        # Tracking.cc:3246+) — a real-time rate limit of a few frames per
+        # KF. Our mapper runs synchronously (always "idle"), and without
+        # the analog a slow-motion sequence enters an insert/cull cascade:
+        # KF every frame, each culled as 90%-redundant within two frames,
+        # the churn degrading the map until tracking is lost (soak r4).
+        # Critically-weak tracking still bypasses the cooldown.
+        critical = n_in < 0.5 * cfg.kf_ref_ratio * ref_tracked
+        if weak and not critical \
+                and self._frames_since_kf < cfg.kf_min_interval:
+            weak = False
         stale = self._frames_since_kf >= cfg.kf_max_interval
         # inertial configs need a DENSE temporal chain: the reference forces
         # a keyframe every 0.25 s before IMU init and every 0.5 s after
