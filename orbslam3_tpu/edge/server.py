@@ -25,6 +25,7 @@ import numpy as np
 
 from . import wire
 from .acoustic import K_DISTANCE, SAMPLE_RATE, speed_of_sound
+from ..utils import verbose as _verbose
 
 # Reference budgets: 1000 features when initializing/lost, 500 when OK,
 # secondary clients track 1-in-5 frames (`client.cc:4,166,184-191`).
@@ -74,6 +75,11 @@ class ClientLane:
                     break
                 for payload in dec.feed(data):
                     pkt = wire.decode_frame(payload)
+                    if pkt is None:  # malformed packet: drop, keep the lane
+                        _verbose.normal(
+                            f"client {self.id}: dropping malformed packet "
+                            f"({len(payload)} bytes)")
+                        continue
                     self.stats.frames_received += 1
                     self.stats.recv_times.append(time.monotonic())
                     try:

@@ -64,7 +64,7 @@ def encode_frame(frame_id: int, timestamp_ns: int, uv: np.ndarray,
 
     # keypoint block: u16-BE x, u16-BE y, 32-byte descriptor, vectorized
     kp = np.zeros((n, PT_LEN), np.uint8)
-    xy = np.round(uv).astype(np.uint16)
+    xy = np.clip(np.round(uv), 0, 65535).astype(np.uint16)
     kp[:, 0] = (xy[:, 0] >> 8) & 0xFF
     kp[:, 1] = xy[:, 0] & 0xFF
     kp[:, 2] = (xy[:, 1] >> 8) & 0xFF
@@ -139,9 +139,18 @@ def decode_frame_native(payload: bytes) -> FramePacket | None:
     return FramePacket(fid.value, ts.value, uv, desc, imu_ts, gyro, acc)
 
 
-def decode_frame(payload: bytes) -> FramePacket:
+def decode_frame(payload: bytes) -> FramePacket | None:
     """Parse a SlamPktVI payload: native C++ codec when available, numpy
-    otherwise."""
+    otherwise. Returns None for a malformed payload (header shorter than
+    16 bytes or counts inconsistent with the payload length) — the server
+    drops such packets with a warning instead of tearing down the client
+    lane (the reference's receiveLoop likewise skips bad frames,
+    `src/Socket/client.cc:105-127`)."""
+    if len(payload) < INFO_LEN:
+        return None
+    n, m = struct.unpack_from('>HH', payload, 12)
+    if len(payload) < INFO_LEN + n * PT_LEN + m * IMU_LEN:
+        return None
     pkt = decode_frame_native(payload)
     return pkt if pkt is not None else decode_frame_py(payload)
 

@@ -40,13 +40,19 @@ def _build(src: str, tag: str) -> str | None:
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)  # atomic under concurrent builders
     except (OSError, subprocess.SubprocessError):
         return None
-    os.replace(tmp, out)  # atomic under concurrent builders
-    # drop stale builds of older source revisions
+    finally:
+        try:  # a failed/killed g++ must not leave the partial tmp behind
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+        except OSError:
+            pass
+    # drop stale builds of older source revisions (incl. orphaned tmps)
     for name in os.listdir(_DIR):
-        if name.startswith(f"_{tag}-") and name.endswith(".so") \
-                and name != os.path.basename(out):
+        if name.startswith(f"_{tag}-") and name != os.path.basename(out) \
+                and (name.endswith(".so") or ".so.tmp" in name):
             try:
                 os.unlink(os.path.join(_DIR, name))
             except OSError:

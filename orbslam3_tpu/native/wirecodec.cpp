@@ -17,6 +17,7 @@
 //   IMU     32 B : ts ns (i64 LE), 3xf32 gyro LE, 3xf32 accel LE
 //   framing      : 2-byte BE length prefix, 64 KiB max packet.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -34,6 +35,16 @@ inline uint16_t be16(const uint8_t* p) {
 inline void put_be16(uint8_t* p, uint16_t v) {
   p[0] = static_cast<uint8_t>(v >> 8);
   p[1] = static_cast<uint8_t>(v & 0xFF);
+}
+
+// Match numpy's np.round (banker's rounding, the Python encoder's
+// behaviour) and clamp to the u16 range: a negative or huge float
+// coordinate must not hit UB on the float->uint16 cast.
+inline uint16_t round_coord(float v) {
+  const float r = nearbyintf(v);  // default FE_TONEAREST = half-to-even
+  if (!(r > 0.0f)) return 0;      // also catches NaN
+  if (r >= 65535.0f) return 65535;
+  return static_cast<uint16_t>(r);
 }
 
 }  // namespace
@@ -99,8 +110,8 @@ int64_t svi_encode(int32_t frame_id, int64_t ts_ns, const float* uv,
   uint8_t* kp = out + kInfoLen;
   for (int i = 0; i < n_kp; ++i, kp += kPtLen) {
     const float x = uv[2 * i], y = uv[2 * i + 1];
-    put_be16(kp, static_cast<uint16_t>(x + 0.5f));
-    put_be16(kp + 2, static_cast<uint16_t>(y + 0.5f));
+    put_be16(kp, round_coord(x));
+    put_be16(kp + 2, round_coord(y));
     std::memcpy(kp + 4, desc + kDescLen * i, kDescLen);
   }
   uint8_t* im = out + kInfoLen + static_cast<int64_t>(n_kp) * kPtLen;

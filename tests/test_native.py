@@ -56,6 +56,47 @@ def test_native_encode_matches_python_encode():
     assert out.tobytes() == ref
 
 
+def test_native_encode_rounding_and_clamping_parity():
+    """Half-pixel and out-of-range coordinates: the native encoder must
+    match np.round (half-to-even) and clamp instead of wrapping on the
+    float->u16 cast (ADVICE r4: the old x+0.5f diverged on .5 ties and hit
+    UB on negatives)."""
+    lib = load_wirecodec()
+    uv = np.array([[0.5, 1.5], [2.5, 3.5], [10.49, 10.51],
+                   [-3.0, -0.4], [70000.0, 65535.4], [65534.5, 65535.5]],
+                  np.float32)
+    n = len(uv)
+    desc = RNG.integers(0, 256, (n, 32), dtype=np.uint8)
+    ref = wire.encode_frame(9, 77, uv, desc)
+    out = np.empty(len(ref), np.uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    null_i64 = ctypes.POINTER(ctypes.c_int64)()
+    null_f32 = ctypes.POINTER(ctypes.c_float)()
+    written = lib.svi_encode(
+        9, 77, uv.ctypes.data_as(f32p),
+        desc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n,
+        null_i64, null_f32, null_f32, 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    assert written == len(ref)
+    assert out.tobytes() == ref
+    # and the decoded values are the clamped, banker's-rounded coordinates
+    dec = wire.decode_frame_py(ref)
+    np.testing.assert_array_equal(
+        dec.uv, np.clip(np.round(uv), 0, 65535).astype(np.float32))
+
+
+def test_decode_frame_returns_none_for_malformed():
+    """decode_frame (the server's entry point) must return None — not
+    raise — for malformed payloads, so a bad packet can't kill a client
+    lane (ADVICE r4)."""
+    uv, desc, imu_ts, gyro, acc = _random_frame(n=10, m=2)
+    payload = wire.encode_frame(1, 2, uv, desc, imu_ts, gyro, acc)
+    assert wire.decode_frame(payload[:-5]) is None
+    assert wire.decode_frame(payload[:8]) is None
+    assert wire.decode_frame(b"") is None
+    assert wire.decode_frame(payload) is not None
+
+
 def test_decode_rejects_truncated_payload():
     uv, desc, imu_ts, gyro, acc = _random_frame(n=10, m=2)
     payload = wire.encode_frame(1, 2, uv, desc, imu_ts, gyro, acc)
