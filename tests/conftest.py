@@ -14,6 +14,15 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Rendered synthetic sequences are deterministic in their arguments; cache
+# them on disk so repeat suite runs skip the multi-minute renders the
+# golden tests pay (VERDICT r4 weak #4). Keyed by (args, renderer source),
+# so renderer changes invalidate entries automatically.
+os.environ.setdefault(
+    "ORB_SYNTH_CACHE",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".render_cache"))
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
