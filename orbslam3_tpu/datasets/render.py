@@ -16,9 +16,18 @@ import dataclasses
 import numpy as np
 
 
-def make_texture(size: int = 1024, seed: int = 0, n_blobs: int = 350):
-    """High-contrast corner-rich texture: multi-scale smoothed noise plus
-    random dark/bright axis-aligned squares (strong FAST responses)."""
+def make_texture(size: int = 1024, seed: int = 0, n_blobs: int = 350,
+                 family: str = "blobs"):
+    """High-contrast corner-rich texture; `family` selects a visually and
+    statistically distinct generator so vocabulary training can hold out a
+    whole appearance family (VERDICT r4 missing #3: P/R was only validated
+    on the same texture family that trained the tree):
+      * "blobs"   — multi-scale smoothed noise + random-interior squares
+                    (the original; every shipped golden uses this);
+      * "cells"   — Voronoi-like polygonal cells with per-cell albedo and
+                    dark borders (indoor wall/panel statistics);
+      * "stripes" — superposed rotated square-wave gratings + speckle
+                    (fabric/woodgrain statistics, strong oriented edges)."""
     import cv2
     rng = np.random.default_rng(seed)
     tex = np.zeros((size, size), np.float32)
@@ -27,17 +36,58 @@ def make_texture(size: int = 1024, seed: int = 0, n_blobs: int = 350):
         tex += amp * cv2.resize(small, (size, size),
                                 interpolation=cv2.INTER_CUBIC)
     tex += 128.0
-    # each blob gets its OWN random interior pattern: identical flat squares
-    # would create repeated-texture descriptor ambiguity far beyond real
-    # imagery and systematically corrupt data association
-    for _ in range(n_blobs):
-        s = int(rng.integers(8, 28))
-        x = int(rng.integers(0, size - s))
-        y = int(rng.integers(0, size - s))
-        cells = int(rng.integers(2, 5))
-        patch = rng.uniform(0, 255, (cells, cells)).astype(np.float32)
-        patch = cv2.resize(patch, (s, s), interpolation=cv2.INTER_NEAREST)
-        tex[y:y + s, x:x + s] = 0.3 * tex[y:y + s, x:x + s] + 0.7 * patch
+    if family == "blobs":
+        # each blob gets its OWN random interior pattern: identical flat
+        # squares would create repeated-texture descriptor ambiguity far
+        # beyond real imagery and systematically corrupt data association
+        for _ in range(n_blobs):
+            s = int(rng.integers(8, 28))
+            x = int(rng.integers(0, size - s))
+            y = int(rng.integers(0, size - s))
+            cells = int(rng.integers(2, 5))
+            patch = rng.uniform(0, 255, (cells, cells)).astype(np.float32)
+            patch = cv2.resize(patch, (s, s),
+                               interpolation=cv2.INTER_NEAREST)
+            tex[y:y + s, x:x + s] = (0.3 * tex[y:y + s, x:x + s]
+                                     + 0.7 * patch)
+    elif family == "cells":
+        n_sites = 220
+        albedo = rng.uniform(40, 230, n_sites).astype(np.float32)
+        # nearest/second-nearest fields at quarter resolution (exact Voronoi
+        # at full res is O(size^2 * sites)); NEAREST upsampling keeps the
+        # cell edges crisp, which is what FAST needs
+        lo_res = max(size // 4, 128)
+        sites = rng.uniform(0, lo_res, (n_sites, 2)).astype(np.float32)
+        yy, xx = np.meshgrid(np.arange(lo_res, dtype=np.float32),
+                             np.arange(lo_res, dtype=np.float32),
+                             indexing="ij")
+        p = np.stack([xx, yy], -1)
+        d = np.linalg.norm(p[:, :, None, :] - sites[None, None], axis=-1)
+        part = np.partition(d, 1, axis=-1)
+        cell = d.argmin(-1).astype(np.int32)
+        border = part[..., 1] - part[..., 0]
+        cell = cv2.resize(cell, (size, size),
+                          interpolation=cv2.INTER_NEAREST)
+        border = cv2.resize(border, (size, size),
+                            interpolation=cv2.INTER_NEAREST)
+        tex = 0.35 * tex + 0.65 * albedo[cell]
+        tex[border < 0.7] *= 0.25          # dark cell borders -> corners
+    elif family == "stripes":
+        yy, xx = np.meshgrid(np.arange(size, dtype=np.float32),
+                             np.arange(size, dtype=np.float32),
+                             indexing="ij")
+        for _ in range(4):
+            th = rng.uniform(0, np.pi)
+            period = rng.uniform(18, 60)
+            phase = rng.uniform(0, 2 * np.pi)
+            wave = np.sign(np.sin(
+                2 * np.pi * (xx * np.cos(th) + yy * np.sin(th)) / period
+                + phase))
+            tex += rng.uniform(18, 32) * wave
+        speck = (rng.uniform(0, 1, (size, size)) < 0.02)
+        tex[speck] = rng.uniform(0, 255, int(speck.sum()))
+    else:
+        raise ValueError(f"unknown texture family {family!r}")
     return np.clip(tex, 0, 255).astype(np.uint8)
 
 
@@ -55,10 +105,11 @@ class BoxScene:
 
     @staticmethod
     def default(seed: int = 0, box=((-8, 8), (-5, 5), (-4, 14)),
-                tex_size: int = 1024) -> "BoxScene":
+                tex_size: int = 1024, family: str = "blobs") -> "BoxScene":
         lo = np.array([b[0] for b in box], np.float64)
         hi = np.array([b[1] for b in box], np.float64)
-        textures = [make_texture(tex_size, seed=seed * 13 + f) for f in range(6)]
+        textures = [make_texture(tex_size, seed=seed * 13 + f, family=family)
+                    for f in range(6)]
         return BoxScene(lo, hi, textures)
 
     def render(self, K: np.ndarray, R_cw: np.ndarray, t_cw: np.ndarray,

@@ -227,6 +227,15 @@ def delta_position(pre: Preintegrated, bias: jax.Array) -> jax.Array:
 
 
 @jax.jit
+def corrected_deltas(pre: Preintegrated, bias: jax.Array):
+    """All three bias-corrected deltas + dT in ONE device program — the
+    per-frame `PredictStateIMU` consumer previously paid a separate eager
+    dispatch chain per delta plus a full-struct fetch (dispatch audit)."""
+    return (delta_rotation(pre, bias), delta_velocity(pre, bias),
+            delta_position(pre, bias), pre.dT)
+
+
+@jax.jit
 def merge(prev: Preintegrated, nxt: Preintegrated) -> Preintegrated:
     """Concatenate two consecutive preintegrated windows.
 

@@ -89,3 +89,64 @@ def print_time_stats(file=None):
 def save(path: str = "ExecTimeMean.txt"):
     with open(path, "w") as f:
         print_time_stats(file=f)
+
+
+# -- dispatch / transfer audit ------------------------------------------------
+# The reference's real-time claim rests on a tight host loop; ours rests on
+# FEW device round-trips per frame. `count()` tallies device-program launches
+# at the hot-path call sites (an int increment — always on); `transfer_audit`
+# measures host<->device transfers EXTERNALLY via jax's transfer guard, whose
+# log lines are emitted by the C++ runtime on stderr (guard_lib.cc) — an
+# instrumentation-free ground truth the self-counts can be checked against.
+
+_counts: dict[str, int] = defaultdict(int)
+
+
+def count(name: str, k: int = 1):
+    _counts[name] += k
+
+
+def counts() -> dict[str, int]:
+    return dict(_counts)
+
+
+def reset_counts():
+    _counts.clear()
+
+
+@contextlib.contextmanager
+def transfer_audit(box: dict):
+    """Counts h2d/d2h transfers inside the block into `box`.
+
+    Redirects OS-level stderr (fd 2) to a temp file and enables
+    `jax.transfer_guard("log")`; the XLA guard logs one line per transfer.
+    Everything else written to stderr inside the block is replayed
+    afterwards. Donated/committed on-device arrays do not log (correct: we
+    want the host<->device boundary, not device arithmetic)."""
+    import re
+    import sys
+    import tempfile
+
+    import jax
+
+    sys.stderr.flush()
+    saved = os.dup(2)
+    tf = tempfile.TemporaryFile(mode="w+b")
+    os.dup2(tf.fileno(), 2)
+    try:
+        with jax.transfer_guard("log"):
+            yield box
+    finally:
+        sys.stderr.flush()
+        os.dup2(saved, 2)
+        os.close(saved)
+        tf.seek(0)
+        text = tf.read().decode(errors="replace")
+        tf.close()
+        box["h2d"] = len(re.findall(r"host-to-device transfer", text))
+        box["d2h"] = len(re.findall(r"device-to-host transfer", text))
+        # replay non-guard lines so real errors aren't swallowed
+        other = [ln for ln in text.splitlines()
+                 if "transfer:" not in ln and ln.strip()]
+        if other:
+            sys.stderr.write("\n".join(other) + "\n")

@@ -116,6 +116,34 @@ class TestKeyFrameDatabase:
         assert 0 not in slots and 1 not in slots
         assert len(cands) >= 1
 
+    def test_device_scores_match_numpy(self):
+        """The jitted device scorer is bit-compatible with the numpy path
+        (weak r4 #7: host-only scoring); grouped accumulation is exercised
+        through a covisibility function over the same rows."""
+        train = rand_desc(800)
+        voc = build_vocabulary(train, k=4, depth=3, seed=11)
+        db_np = KeyFrameDatabase(voc, max_keyframes=16, device_scores=False)
+        db_dev = KeyFrameDatabase(voc, max_keyframes=16, device_scores=True)
+        descs = [rand_desc(80) for _ in range(8)]
+        for k, d in enumerate(descs):
+            _, v = db_np.compute_bow(d, np.ones(80, bool))
+            db_np.add(k, v)
+            db_dev.add(k, v)
+        db_np.erase(5)
+        db_dev.erase(5)
+        covis = lambda k: [k - 1, k + 1]
+        for q in range(4):
+            _, qv = db_np.compute_bow(perturb(descs[q], 4), np.ones(80, bool))
+            mask = np.ones(16, bool)
+            s_np = db_np._scores(qv, mask)
+            s_dev = db_dev._scores(qv, mask)
+            np.testing.assert_allclose(s_np[0], s_dev[0])
+            np.testing.assert_allclose(s_np[1], s_dev[1], rtol=1e-5,
+                                       atol=1e-6)
+            c_np = db_np.detect_relocalization_candidates(qv, covis)
+            c_dev = db_dev.detect_relocalization_candidates(qv, covis)
+            assert c_np.tolist() == c_dev.tolist()
+
     def test_clear_map(self):
         voc = build_vocabulary(rand_desc(400), k=4, depth=2, seed=6)
         db = KeyFrameDatabase(voc, max_keyframes=8)
