@@ -490,8 +490,26 @@ class LocalMapper:
 
     def _assemble_ba(self, window, fixed, all_kfs):
         m = self.map
-        if len(fixed) == 0 and len(window) >= 2:
-            fixed = [window[-1]]  # gauge: fix one
+        if len(fixed) < 2 and len(window) > 2:
+            # ORB-SLAM3's num_fixedKF guard (Optimizer.cc Local
+            # BundleAdjustment: "if(num_fixedKF < 2)" promotes the lowest-id
+            # local KFs to fixed): with fewer than TWO anchor cameras the
+            # monocular similarity gauge is free — scaling all points and
+            # camera centers about a single fixed camera's center preserves
+            # every reprojection — and each windowed LBA lets map scale
+            # random-walk. Accumulated over a long run, every stored scalar
+            # (scale-invariance bands, marginalization priors) desyncs from
+            # the live geometry and projection matching starves
+            # (root-caused in the r5 capacity soak: stored mfMaxDistance
+            # 1.6x smaller than the re-derived value by frame 330).
+            promote = sorted(window, key=lambda kf: int(m.kf_uid[kf]))
+            promote = promote[: 2 - len(fixed)]
+            # membership-only promotion: all_kfs order is shared with the
+            # caller (_apply_ba_result), so only the fixed set grows — the
+            # enumerate loop below marks the promoted rows fixed in place
+            fixed = list(fixed) + promote
+        elif len(fixed) == 0 and len(window) >= 2:
+            fixed = [window[-1]]  # gauge: fix one (2-KF init window)
             all_kfs = list(window)
         M_cap = self.cfg.window_kfs + self.cfg.fixed_kfs
         P_cap = self.cfg.ba_points_cap
@@ -581,3 +599,11 @@ class LocalMapper:
         outlier = (err2 > robust.CHI2_MONO) | (xcs[:, 2] <= 0)
         outlier |= np.asarray(ba_outlier)[:O]  # rejected at the mid-BA gate
         m.kf_obs_mp[kk[outlier], slots[outlier]] = -1
+        # re-derive normals/scale bands from the POST-BA geometry: a
+        # low-parallax triangulation can seed a point far along its ray,
+        # freeze near-camera bands at creation, and after BA moves the
+        # point to its true depth the stale band gates it out of every
+        # later projection search (soak root cause #2 — dumps showed
+        # stored mfMaxDistance up to 11x below the post-BA value). One
+        # vectorized pass over the window's landmarks per LBA.
+        m.update_point_stats(mp_ids)

@@ -1023,7 +1023,17 @@ class Tracker:
             return False  # frozen map (NeedNewKeyFrame's mbOnlyTracking gate)
         if self.ref_kf < 0:
             return False
-        ref_tracked = int((self.map.kf_obs_mp[self.ref_kf] >= 0).sum())
+        # reference NeedNewKeyFrame (Tracking.cc:3246+): the weakness test
+        # compares against the ref KF's WELL-OBSERVED points only —
+        # mpReferenceKF->TrackedMapPoints(nMinObs) with nMinObs = 3 (2 while
+        # the map has <= 2 KFs). Counting every observation (r4-r5.0)
+        # inflated ref_tracked, fired `weak` nearly every frame, and drove
+        # the soak's KF-insert/cull churn (~1 KF per 1.5 frames).
+        obs_ref = self.map.kf_obs_mp[self.ref_kf]
+        mp = obs_ref[obs_ref >= 0]
+        mp = mp[self.map.mp_valid[mp]]
+        min_obs = 3 if self.map.n_keyframes > 2 else 2
+        ref_tracked = int((self.map.obs_counts()[mp] >= min_obs).sum())
         if n_in < cfg.kf_min_inliers:
             return False
         weak = n_in < cfg.kf_ref_ratio * ref_tracked

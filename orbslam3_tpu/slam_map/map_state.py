@@ -214,6 +214,19 @@ class MapState:
     def keyframe_ids(self) -> np.ndarray:
         return np.nonzero(self.kf_valid)[0]
 
+    def obs_counts(self) -> np.ndarray:
+        """(max_points,) number of live keyframes observing each point
+        (reference MapPoint::Observations()), cached by change_index."""
+        key = self.change_index
+        c = getattr(self, '_obs_count_cache', None)
+        if c is None or c[0] != key:
+            kk, ss = np.nonzero(self.kf_valid[:, None] & (self.kf_obs_mp >= 0))
+            mm = self.kf_obs_mp[kk, ss]
+            cnt = np.bincount(mm, minlength=self.cfg.max_points)
+            c = (key, cnt)
+            self._obs_count_cache = c
+        return c[1]
+
     def add_keyframe(self, R, t, ts, frame_id, uv, octave, angle, desc,
                      feat_valid, obs_mp, prev_kf: int = -1,
                      vel=None, bias=None, preint=None, uright=None) -> int:

@@ -29,15 +29,45 @@ class SynthWorld:
     points: np.ndarray        # (P,3) landmark positions
     desc_bits: np.ndarray     # (P,256) uint8 canonical descriptors
     rng: np.random.Generator
+    scale_d0: np.ndarray = None   # (P,) per-landmark scale-anchor distance
 
 
-def make_world(n_points=2000, box=((-8, 8), (-5, 5), (2, 14)), seed=0) -> SynthWorld:
+def make_world(n_points=2000, box=((-8, 8), (-5, 5), (2, 14)), seed=0,
+               min_center_dist: float = 0.0) -> SynthWorld:
+    """`min_center_dist` > 0 rejects landmarks closer than that to the box
+    center. A trajectory that passes THROUGH its landmark field sweeps
+    per-point viewing-distance ratios beyond any 8-level/1.2x pyramid's
+    scale-invariance span (1.2^8 = 4.3x) — such points are legitimately
+    unmatchable across the pass in the reference too. Long-duration orbit
+    fixtures (the capacity soak) keep the field outside the orbit's near
+    zone, like real indoor datasets where the camera doesn't fly through
+    the furniture."""
     rng = np.random.default_rng(seed)
-    pts = np.stack(
-        [rng.uniform(*box[i], n_points) for i in range(3)], axis=-1
-    ).astype(np.float32)
+    center_np = np.array([(b[0] + b[1]) / 2.0 for b in box], np.float32)
+    pts = np.zeros((0, 3), np.float32)
+    while len(pts) < n_points:
+        cand = np.stack(
+            [rng.uniform(*box[i], n_points) for i in range(3)], axis=-1
+        ).astype(np.float32)
+        if min_center_dist > 0:
+            cand = cand[np.linalg.norm(cand - center_np, axis=1)
+                        >= min_center_dist]
+        pts = np.concatenate([pts, cand])[:n_points]
     bits = rng.integers(0, 2, (n_points, 256)).astype(np.uint8)
-    return SynthWorld(points=pts, desc_bits=bits, rng=rng)
+    # Physical scale model: each landmark has a fixed apparent size, so the
+    # pyramid level it is detected at follows its viewing DISTANCE —
+    # level = ceil(log(d0/d)/log 1.2), the exact relation the matcher's
+    # PredictScale / scale-band gates assume (MapPoint::PredictScale,
+    # reference MapPoint.cc). Pre-r5 synth emitted octave 0 at every
+    # distance, which violates that contract: as a trajectory changes view
+    # distance >20%, the (correct) frustum gates reject every stale
+    # landmark and feature-level runs starve (the r4/r5 soak LOST).
+    # d0 = distance at which the landmark would appear at the COARSEST
+    # level, anchored to the world center so center-orbiting views (the
+    # standard fixture trajectory, radius <= 3) span levels 0..7 without
+    # saturating the clip.
+    d0 = (np.linalg.norm(pts - center_np, axis=1) + 3.2).astype(np.float32)
+    return SynthWorld(points=pts, desc_bits=bits, rng=rng, scale_d0=d0)
 
 
 def orbit_trajectory(n_frames=120, radius=3.0, height=0.4, center=(0, 0, 8.0),
@@ -101,6 +131,14 @@ def render_features(
     flips = rng.integers(0, 256, (n, bit_flips))
     for k in range(bit_flips):
         bits[np.arange(n), flips[:, k]] ^= 1
+    # distance-consistent pyramid level (see make_world scale model)
+    if world.scale_d0 is not None:
+        d = np.linalg.norm(xc[ids], axis=1)
+        oct_obs = np.ceil(np.log(np.maximum(world.scale_d0[ids], 1e-6)
+                                 / np.maximum(d, 1e-6)) / np.log(1.2))
+        oct_obs = np.clip(oct_obs, 0, 7).astype(np.int32)
+    else:
+        oct_obs = np.zeros(n, np.int32)
 
     n_d = min(n_distractors, capacity - n)
     uv_dis = np.stack(
@@ -121,12 +159,14 @@ def render_features(
     valid[:total] = True
 
     packed = np.asarray(pack_bits(jnp.asarray(bits_all, jnp.uint32)))
+    oct_all = np.zeros(capacity, np.int32)
+    oct_all[:n] = oct_obs
     feats = FrameFeatures(
         uv=jnp.asarray(uv_all),
         uv_raw=jnp.asarray(uv_all),
         response=jnp.asarray(valid, jnp.float32),
         angle=jnp.zeros(capacity, jnp.float32),
-        octave=jnp.zeros(capacity, jnp.int32),
+        octave=jnp.asarray(oct_all),
         desc=jnp.asarray(packed),
         valid=jnp.asarray(valid),
     )

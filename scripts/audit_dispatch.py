@@ -117,10 +117,15 @@ def main():
     DEV_CALLS[0] = 0
     n_meas = n_frames - n_warm
     box = {}
+    walls, devs = [], []
     t0 = time.perf_counter()
     with timing.transfer_audit(box):
         for i in range(n_warm, n_frames):
+            d0 = DEV_WALL[0]
+            f0 = time.perf_counter()
             slam.track_monocular(dev_imgs[i], float(ts[i]))
+            walls.append(time.perf_counter() - f0)
+            devs.append(DEV_WALL[0] - d0)
     wall = time.perf_counter() - t0
     try:
         slam.shutdown()
@@ -128,12 +133,16 @@ def main():
         pass
 
     counted = sum(timing.counts().values())
+    walls = np.asarray(walls) * 1e3
+    devs = np.asarray(devs) * 1e3
+    hosts = walls - devs
     ms = wall / n_meas * 1e3
-    dev_ms = DEV_WALL[0] / n_meas * 1e3
     print(json.dumps({
         "ms_per_frame_colocated": round(ms, 2),
-        "device_ms_per_frame": round(dev_ms, 2),
-        "host_ms_per_frame": round(ms - dev_ms, 2),
+        "ms_per_frame_median": round(float(np.median(walls)), 2),
+        "device_ms_per_frame_median": round(float(np.median(devs)), 2),
+        "host_ms_per_frame_median": round(float(np.median(hosts)), 2),
+        "host_ms_per_frame_p90": round(float(np.percentile(hosts, 90)), 2),
         "dispatches_per_frame": round(counted / n_meas, 2),
         "device_calls_per_frame": round(DEV_CALLS[0] / n_meas, 2),
         "transfers_h2d_per_frame": round(box.get("h2d", 0) / n_meas, 2),

@@ -23,7 +23,7 @@ from orbslam3_tpu.utils import synth
 CAM = Camera.pinhole(458.0, 458.0, 320.0, 240.0, width=640, height=480)
 
 n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
-world = synth.make_world(n_points=4000, seed=11)
+world = synth.make_world(n_points=4000, seed=11, min_center_dist=5.5)
 R_gt, t_gt = synth.orbit_trajectory(
     n_frames=n_frames, radius=3.0, arc=6.0 * np.pi * (n_frames / 3000.0))
 ts = np.arange(n_frames) * 0.05
